@@ -1,0 +1,72 @@
+"""Deterministic engine configuration.
+
+The reference "trains" a model from human-labeled pairs
+(/root/reference/02_Initial_Workflow_Part_A.py:183-191, exec 02B:229) and
+persists it to a model directory (02B:233-242).  Our engine has no learned
+weights: the "model" is this fixed, versioned signature configuration.  Its
+hash is recorded in every checkpoint manifest so a stage only resumes when
+the config that produced it is identical (the recall>=0.99 contract in
+BASELINE.json holds "at identical shingle/signature config").
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class ERConfig:
+    # --- caption MinHash ---------------------------------------------------
+    shingle_k: int = 5           # character shingle width over normalized caption
+    num_hashes: int = 128        # MinHash permutations
+    bands: int = 32              # LSH bands (num_hashes = bands * rows_per_band)
+    rows_per_band: int = 4
+    minhash_seed: int = 0x5EED
+
+    # --- pHash banding -----------------------------------------------------
+    phash_chunks: int = 4        # 64-bit phash split into 4 x 16-bit band keys;
+                                 # any pair with Hamming(phash) <= phash_chunks-1
+                                 # shares at least one chunk (pigeonhole)
+    phash_hamming_max: int = 10  # verify threshold on full 64-bit Hamming
+
+    # --- verification / scoring --------------------------------------------
+    # score = w_caption * caption_sim + w_image * image_sim
+    # caption_sim: 1.0 on exact match else LCS(caption_l, caption_r) ratio
+    # image_sim:   1 - hamming(phash_l, phash_r)/64
+    w_caption: float = 0.5
+    w_image: float = 0.5
+    match_threshold: float = 0.70   # pair is a match (edge in cluster graph)
+    review_threshold: float = 0.55  # link decisions: accept >= match_threshold,
+                                    # review in [review, match), reject below
+                                    # (implements the prose rules of
+                                    # /root/reference/03_Incremental_Workflow.py:283-288)
+
+    # --- skew / shuffle policy ----------------------------------------------
+    max_band_size: int = 256     # bands larger than this are salted into
+                                 # sub-bands of <= max_band_size members
+                                 # (never dropped: split keeps recall, see
+                                 # candidates.py); documented per north_rule
+    shuffle_partitions: int = 32
+    cc_checkpoint_every: int = 3  # connected-components lineage truncation
+
+    # --- invariants ----------------------------------------------------------
+    psnr_min_db: float = 40.0    # lossy decode invariant
+    extra: dict = field(default_factory=dict)
+
+    def config_hash(self) -> str:
+        payload = json.dumps(asdict(self), sort_keys=True, default=str)
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.num_hashes:
+            raise ValueError(
+                f"bands*rows_per_band ({self.bands}*{self.rows_per_band}) "
+                f"!= num_hashes ({self.num_hashes})"
+            )
+        if 64 % self.phash_chunks != 0:
+            raise ValueError("phash_chunks must divide 64")
+
+
+DEFAULT_CONFIG = ERConfig()
