@@ -32,16 +32,23 @@ class ERConfig:
     phash_hamming_max: int = 10  # verify threshold on full 64-bit Hamming
 
     # --- verification / scoring --------------------------------------------
-    # score = w_caption * caption_sim + w_image * image_sim
-    # caption_sim: 1.0 on exact match else LCS(caption_l, caption_r) ratio
-    # image_sim:   1 - hamming(phash_l, phash_r)/64
+    # caption_sim: 1.0 on exact match; else MinHash-Jaccard estimate
+    # (JVM-side zip_with/aggregate over the signatures already computed),
+    # escalated to suffix-array LCS ratio only inside the ambiguity band
+    # [jacc_lo, jacc_hi) — the expensive UDF runs on the few borderline pairs.
+    # image_sim: 1 - hamming(phash_l, phash_r)/64 (pure SQL bit_count(xor)).
+    # A pair is a MATCH (edge in the cluster graph) iff
+    #     hamming <= phash_hamming_max AND caption_sim >= caption_sim_min.
+    # score = w_caption*caption_sim + w_image*image_sim is reported per pair
+    # and drives the link accept/review/reject rules (the prose thresholds of
+    # /root/reference/03_Incremental_Workflow.py:283-288, implemented here).
     w_caption: float = 0.5
     w_image: float = 0.5
-    match_threshold: float = 0.70   # pair is a match (edge in cluster graph)
-    review_threshold: float = 0.55  # link decisions: accept >= match_threshold,
-                                    # review in [review, match), reject below
-                                    # (implements the prose rules of
-                                    # /root/reference/03_Incremental_Workflow.py:283-288)
+    jacc_hi: float = 0.80
+    jacc_lo: float = 0.30
+    caption_sim_min: float = 0.35
+    match_threshold: float = 0.80   # link: accept at/above
+    review_threshold: float = 0.65  # link: review in [review, match)
 
     # --- skew / shuffle policy ----------------------------------------------
     max_band_size: int = 256     # bands larger than this are salted into

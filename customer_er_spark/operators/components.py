@@ -1,0 +1,106 @@
+"""Stage 2b — connected components over the verified-match pair graph.
+
+Replaces Zingg's opaque transitive cluster assignment (observed only through
+its z_cluster output, /root/reference/02_Initial_Workflow_Part_B.py:250-266)
+with the alternating large-star / small-star algorithm of Kiveris et al.,
+"Connected Components in MapReduce and Beyond" (SoCC'14), expressed as pure
+DataFrame groupBy+join rounds:
+
+  large-star: for each node u (over bidirected edges), connect every
+              strictly-larger neighbor to m = min(N(u) ∪ {u})
+  small-star: orient edges to (hi, lo); for each hi, connect hi and all its
+              lo-neighbors to the minimum lo
+
+Converges in O(log n) rounds to per-component stars centered at the minimum
+node id; that minimum id IS the cluster id — deterministic across reruns,
+unlike the reference's uuid1-per-row GUID minting which it must cache() to
+freeze (/root/reference/02_Initial_Workflow_Part_B.py:295-309, a
+resumability bug we deliberately do not copy).
+
+Node ids are the string image_ids: no int remapping pass, no collision risk
+at 10^12 rows, lexicographic min as the deterministic tie-break.
+
+Scale: every round is groupBy(min) + self-join on node id — both shuffle on
+the same key so the exchange is reused; lineage is truncated with an eager
+localCheckpoint every `checkpoint_every` rounds (on a cluster: a checkpoint
+table write via the catalog).  Convergence test = one exceptAll(limit 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    nbrs = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).unionByName(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = mins.withColumn("m", F.least("mv", "u")).select("u", "m")
+    return (
+        nbrs.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    body = (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+    )
+    center = mins.select(F.col("u").alias("src"), F.col("m").alias("dst"))
+    return (
+        body.unionByName(center)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    checkpoint_every: int = 3,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """pairs(id_l, id_r) -> assignments(image_id, cluster_id).
+
+    cluster_id = min image_id of the component.  Only nodes that appear in
+    at least one edge are returned; callers union in singletons.
+    """
+    edges = (
+        pairs.select(F.col("id_l").alias("src"), F.col("id_r").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    edges = edges.localCheckpoint(eager=True)
+    for it in range(max_iterations):
+        new_edges = _small_star(_large_star(edges))
+        new_edges = new_edges.localCheckpoint(eager=True)
+        changed = (
+            new_edges.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(new_edges).limit(1).count()
+        )
+        edges = new_edges
+        if changed == 0:
+            break
+    else:  # pragma: no cover
+        raise RuntimeError(f"components did not converge in {max_iterations} rounds")
+
+    # fixpoint edges form stars (member -> root); root maps to itself
+    members = edges.select(
+        F.col("src").alias("image_id"), F.col("dst").alias("cluster_id")
+    )
+    roots = edges.select(
+        F.col("dst").alias("image_id"), F.col("dst").alias("cluster_id")
+    )
+    return (
+        members.unionByName(roots)
+        .groupBy("image_id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )

@@ -1,0 +1,170 @@
+"""Stage 2a — pairwise verification + scoring.
+
+Replaces Zingg's learned pairwise scorer (FUZZY MatchTypes,
+/root/reference/02_Initial_Workflow_Part_A.py:113-136) with a deterministic
+cost-tiered cascade — cheapest check first, each tier runs on strictly
+fewer rows:
+
+  tier 0 (pure SQL)     hamming = bit_count(phash_l XOR phash_r)
+  tier 1 (pure SQL)     caption equality on normalized captions -> sim 1.0
+  tier 2 (JVM codegen)  MinHash-Jaccard estimate: mean(sig_l[i]==sig_r[i])
+                        via zip_with + aggregate — no Python
+  tier 3 (pandas UDF)   suffix-array LCS ratio, ONLY for pairs whose
+                        Jaccard lands in the ambiguity band [jacc_lo, jacc_hi)
+
+MATCH  iff hamming <= phash_hamming_max AND caption_sim >= caption_sim_min.
+score = w_caption*caption_sim + w_image*(1 - hamming/64)   (z_score analog).
+
+Optionally enforces the per-row decode invariant (PSNR>=40dB lossy / exact
+lossless) on matched pairs when image bytes are supplied.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from customer_er_spark.config import ERConfig
+from customer_er_spark.functions.text import lcs_ratio_udf
+
+
+def _attach_sides(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
+    sig = signatures.select("image_id", "caption_norm", "phash", "minhash")
+    left = sig.select(
+        F.col("image_id").alias("id_l"),
+        F.col("caption_norm").alias("cap_l"),
+        F.col("phash").alias("phash_l"),
+        F.col("minhash").alias("mh_l"),
+    )
+    right = sig.select(
+        F.col("image_id").alias("id_r"),
+        F.col("caption_norm").alias("cap_r"),
+        F.col("phash").alias("phash_r"),
+        F.col("minhash").alias("mh_r"),
+    )
+    return pairs.join(left, "id_l").join(right, "id_r")
+
+
+def verify_pairs(
+    pairs: DataFrame, signatures: DataFrame, cfg: ERConfig
+) -> DataFrame:
+    """-> (id_l, id_r, hamming, caption_sim, score, is_match)"""
+    df = _attach_sides(pairs, signatures)
+
+    df = df.withColumn(
+        "hamming",
+        F.bit_count(F.col("phash_l").bitwiseXOR(F.col("phash_r"))),
+    ).withColumn(
+        "jacc",
+        F.aggregate(
+            F.zip_with(
+                "mh_l", "mh_r", lambda a, b: (a == b).cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(float(cfg.num_hashes)),
+    )
+
+    # split so the LCS UDF physically runs only on the ambiguity band
+    # (when()/otherwise() would evaluate the UDF on every row)
+    eq = df.where(F.col("cap_l") == F.col("cap_r")).withColumn(
+        "caption_sim", F.lit(1.0)
+    )
+    neq = df.where(~(F.col("cap_l") == F.col("cap_r")))
+    clear = neq.where(
+        (F.col("jacc") >= cfg.jacc_hi) | (F.col("jacc") < cfg.jacc_lo)
+    ).withColumn("caption_sim", F.col("jacc"))
+    border = neq.where(
+        (F.col("jacc") >= cfg.jacc_lo) & (F.col("jacc") < cfg.jacc_hi)
+    ).withColumn(
+        "caption_sim",
+        F.greatest(F.col("jacc"), lcs_ratio_udf(F.col("cap_l"), F.col("cap_r"))),
+    )
+
+    scored = eq.unionByName(clear).unionByName(border)
+    scored = (
+        scored.withColumn(
+            "image_sim", F.lit(1.0) - F.col("hamming") / F.lit(64.0)
+        )
+        .withColumn(
+            "score",
+            F.round(
+                F.lit(cfg.w_caption) * F.col("caption_sim")
+                + F.lit(cfg.w_image) * F.col("image_sim"),
+                6,
+            ),
+        )
+        .withColumn(
+            "is_match",
+            (F.col("hamming") <= F.lit(cfg.phash_hamming_max))
+            & (F.col("caption_sim") >= F.lit(cfg.caption_sim_min)),
+        )
+    )
+    return scored.select(
+        "id_l", "id_r", "hamming", "caption_sim", "image_sim", "score", "is_match"
+    )
+
+
+def check_decode_invariant(
+    images: DataFrame, cfg: ERConfig, sample_fraction: float = 1.0
+) -> DataFrame:
+    """Per-row invariant audit (BASELINE.json input_hint): decode(bytes,fmt)
+    must equal the stored pixels exactly for lossless fmts and reach
+    PSNR >= psnr_min_db for lossy ones; the stored phash must equal the
+    recomputed phash of the decoded pixels.
+
+    Runs as mapInPandas over (bytes, fmt, w, h, phash) — Arrow batches,
+    numpy decode, no per-row Python UDFs.  Returns rows that VIOLATE the
+    invariant (empty result = healthy table).
+    """
+    import pandas as pd  # local import: executors only need it lazily
+
+    from customer_er_spark import codecs
+    from customer_er_spark import phash as ph
+
+    df = images.select("image_id", "bytes", "fmt", "w", "h", "phash")
+    if sample_fraction < 1.0:
+        df = df.sample(sample_fraction, seed=42)
+
+    psnr_min = cfg.psnr_min_db
+
+    def audit(batches):
+        for pdf in batches:
+            bad_ids, reasons = [], []
+            for iid, data, fmt, w, h, stored_ph in zip(
+                pdf.image_id, pdf.bytes, pdf.fmt, pdf.w, pdf.h, pdf.phash
+            ):
+                try:
+                    img = codecs.decode(bytes(data), fmt)
+                except Exception as e:  # undecodable = violation
+                    bad_ids.append(iid)
+                    reasons.append(f"decode-error: {e}")
+                    continue
+                if img.shape[0] != h or img.shape[1] != w:
+                    bad_ids.append(iid)
+                    reasons.append(f"shape {img.shape} != ({h},{w})")
+                    continue
+                if fmt in codecs.LOSSLESS:
+                    # lossless exactness: re-encoding the decoded pixels must
+                    # reproduce the stored bytes bit-for-bit (our encoders
+                    # are deterministic)
+                    if codecs.encode(img, fmt) != bytes(data):
+                        bad_ids.append(iid)
+                        reasons.append("lossless roundtrip mismatch")
+                        continue
+                else:
+                    # lossy: stored pixels must be a quantization fixpoint,
+                    # which bounds error vs any original at PSNR ~46.9dB
+                    # (>= psnr_min); re-encode must then be exact.
+                    again = codecs.decode(codecs.encode(img, fmt), fmt)
+                    if codecs.psnr(img, again) < psnr_min:
+                        bad_ids.append(iid)
+                        reasons.append("lossy re-encode below PSNR budget")
+                        continue
+                if ph.phash64(img) != stored_ph:
+                    bad_ids.append(iid)
+                    reasons.append("phash mismatch vs decoded pixels")
+            yield pd.DataFrame({"image_id": bad_ids, "reason": reasons})
+
+    return df.mapInPandas(audit, schema="image_id string, reason string")

@@ -1,0 +1,197 @@
+"""The initial (dedup) workflow — the reference's `match` task re-imagined
+as an explicit, checkpointed, resumable staged DAG.
+
+Reference shape (/root/reference/02_Initial_Workflow_Part_B.py): one opaque
+`trainMatch.execute()` (line 229) followed by registry post-processing
+(lines 250-357).  Ours:
+
+    ingest -> signatures -> candidate_pairs -> verified_pairs
+           -> components -> clusters + cluster_members (+ metrics tables)
+
+Every stage writes a catalog snapshot keyed by (config_hash, upstream
+snapshot ids); a rerun skips any stage whose key matches — kill the job
+after stage k and the rerun resumes at k+1 with byte-identical output
+(deterministic ids replace the reference's uuid1, 02B:295-309).
+
+Output parity (02B:264-266, 319-357):
+  cluster_members(cluster_id, image_id, caption, phash,
+                  z_minScore, z_maxScore, datetime)
+      z_minScore/z_maxScore = weakest/strongest verified link of that
+      record to other members of its cluster (NULL for singletons).
+  clusters(cluster_id, n_members, datetime)
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from customer_er_spark.catalog import SparkCatalog
+from customer_er_spark.config import ERConfig
+from customer_er_spark.operators.candidates import candidate_pairs
+from customer_er_spark.operators.components import connected_components
+from customer_er_spark.operators.signatures import compute_signatures
+from customer_er_spark.operators.verify import verify_pairs
+from customer_er_spark.plans.lineage import StageMetrics
+
+
+def run_initial(
+    spark: SparkSession,
+    images: DataFrame,
+    catalog: SparkCatalog,
+    cfg: ERConfig | None = None,
+    images_snapshot: str = "images-external",
+) -> dict:
+    """Run (or resume) the full dedup pipeline; returns stage summary."""
+    cfg = cfg or ERConfig()
+    ch = cfg.config_hash()
+    metrics = StageMetrics(spark, catalog)
+    summary: dict[str, dict] = {}
+
+    def stage(name: str, inputs: dict[str, str], build, rows_in: int):
+        t0 = time.time()
+        if catalog.has_snapshot(name, ch, inputs):
+            summary[name] = {"resumed": True, **catalog.table_meta(name)["counts"]}
+            return catalog.read_table(name)
+        df = build()
+        manifest = catalog.write_table(
+            df, name, config_hash=ch, inputs=inputs,
+            extra_meta={"counts": {"rows_out": df.count()}},
+        )
+        out = catalog.read_table(name)
+        rows_out = manifest["counts"]["rows_out"]
+        metrics.record(
+            name, rows_in, rows_out, time.time() - t0, ch, inputs,
+            manifest["snapshot_id"], output_df=out,
+        )
+        summary[name] = {"resumed": False, "rows_out": rows_out,
+                         "wall_sec": round(time.time() - t0, 2)}
+        return out
+
+    n_images = images.count()
+    inputs0 = {"images": images_snapshot}
+
+    sig = stage("signatures", inputs0,
+                lambda: compute_signatures(images, cfg), n_images)
+
+    sig_snap = {"signatures": catalog.snapshot_id("signatures") or ""}
+
+    def build_pairs():
+        pairs, band_stats = candidate_pairs(sig, cfg)
+        catalog.write_table(band_stats, "band_stats", config_hash=ch,
+                            inputs=sig_snap,
+                            extra_meta={"counts": {"rows_out": band_stats.count()}})
+        return pairs
+
+    cand = stage("candidate_pairs", sig_snap, build_pairs, n_images)
+
+    cand_snap = {
+        "signatures": catalog.snapshot_id("signatures") or "",
+        "candidate_pairs": catalog.snapshot_id("candidate_pairs") or "",
+    }
+    verified = stage(
+        "verified_pairs", cand_snap,
+        lambda: verify_pairs(cand, sig, cfg), summary_rows(summary, "candidate_pairs"),
+    )
+
+    matches = verified.where("is_match")
+    ver_snap = {"verified_pairs": catalog.snapshot_id("verified_pairs") or ""}
+    assignments = stage(
+        "assignments", ver_snap,
+        lambda: connected_components(
+            matches.select("id_l", "id_r"), cfg.cc_checkpoint_every
+        ),
+        summary_rows(summary, "verified_pairs"),
+    )
+
+    reg_inputs = {
+        "assignments": catalog.snapshot_id("assignments") or "",
+        "signatures": catalog.snapshot_id("signatures") or "",
+    }
+
+    def build_members():
+        return build_cluster_members(sig, assignments, matches)
+
+    members = stage("cluster_members", reg_inputs, build_members, n_images)
+
+    def build_clusters():
+        return (
+            members.groupBy("cluster_id")
+            .agg(F.count("*").alias("n_members"))
+            .withColumn("datetime", F.current_timestamp())
+        )
+
+    stage("clusters", {"cluster_members":
+                       catalog.snapshot_id("cluster_members") or ""},
+          build_clusters, summary_rows(summary, "cluster_members"))
+
+    metrics.flush()
+    summary["n_images"] = n_images
+    return summary
+
+
+def summary_rows(summary: dict, stage_name: str) -> int:
+    return int(summary.get(stage_name, {}).get("rows_out", 0))
+
+
+def build_cluster_members(
+    sig: DataFrame, assignments: DataFrame, matches: DataFrame
+) -> DataFrame:
+    """Every input record gets a row; records in no verified pair form
+    singleton clusters (cluster_id = own image_id), mirroring the
+    reference's size-1-cluster-dominated output (02B:266)."""
+    base = sig.select("image_id", "caption_norm", "phash").join(
+        assignments, "image_id", "left"
+    )
+    base = base.withColumn(
+        "cluster_id", F.coalesce("cluster_id", "image_id")
+    )
+    # per-record weakest/strongest link within its cluster (02B:264-266)
+    link_scores = (
+        matches.select(F.col("id_l").alias("image_id"), "score")
+        .unionByName(matches.select(F.col("id_r").alias("image_id"), "score"))
+        .groupBy("image_id")
+        .agg(F.min("score").alias("z_minScore"), F.max("score").alias("z_maxScore"))
+    )
+    return (
+        base.join(link_scores, "image_id", "left")
+        .select(
+            "cluster_id",
+            "image_id",
+            F.col("caption_norm").alias("caption"),
+            "phash",
+            "z_minScore",
+            "z_maxScore",
+            F.current_timestamp().alias("datetime"),
+        )
+    )
+
+
+def recall_vs_truth(
+    spark: SparkSession, members: DataFrame, truth_pairs: DataFrame
+) -> dict:
+    """Dup-pair recall/precision of the produced clustering vs planted truth
+    (the BASELINE.json >=0.99 gate; truth ≙ the reference's recid hook,
+    /root/reference/01_Prepare_Data.py:233-235)."""
+    m = members.select("image_id", "cluster_id")
+    found = (
+        m.alias("l")
+        .join(m.alias("r"), F.col("l.cluster_id") == F.col("r.cluster_id"))
+        .where(F.col("l.image_id") < F.col("r.image_id"))
+        .select(
+            F.col("l.image_id").alias("id_l"), F.col("r.image_id").alias("id_r")
+        )
+    )
+    truth = truth_pairs.select("id_l", "id_r")
+    tp = found.join(truth, ["id_l", "id_r"], "inner").count()
+    n_truth = truth.count()
+    n_found = found.count()
+    return {
+        "recall": tp / n_truth if n_truth else 1.0,
+        "precision": tp / n_found if n_found else 1.0,
+        "truth_pairs": n_truth,
+        "found_pairs": n_found,
+        "true_positives": tp,
+    }

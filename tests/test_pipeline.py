@@ -1,0 +1,112 @@
+"""End-to-end pipeline tests: recall vs planted truth, resumability,
+component correctness vs a union-find oracle."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from customer_er_spark.config import ERConfig
+from customer_er_spark.plans.pipeline import recall_vs_truth, run_initial
+
+CFG = ERConfig(shuffle_partitions=8)
+
+
+@pytest.fixture(scope="module")
+def pipeline_run(spark, small_corpus, tmp_path_factory):
+    from customer_er_spark.catalog import SparkCatalog
+
+    catalog = SparkCatalog(spark, str(tmp_path_factory.mktemp("cat")))
+    images = spark.read.parquet(f"{small_corpus['dir']}/images.parquet")
+    summary = run_initial(spark, images, catalog, CFG)
+    return catalog, images, summary
+
+
+def test_recall_and_precision(spark, small_corpus, pipeline_run):
+    catalog, images, summary = pipeline_run
+    truth = spark.read.parquet(f"{small_corpus['dir']}/truth_pairs.parquet")
+    members = catalog.read_table("cluster_members")
+    m = recall_vs_truth(spark, members, truth)
+    assert m["recall"] >= 0.99, m
+    assert m["precision"] >= 0.95, m
+
+
+def test_every_record_assigned(pipeline_run, small_corpus):
+    catalog, images, summary = pipeline_run
+    members = catalog.read_table("cluster_members")
+    assert members.count() == small_corpus["rows"]
+    assert members.select("image_id").distinct().count() == small_corpus["rows"]
+
+
+def test_cluster_member_schema_parity(pipeline_run):
+    catalog, _, _ = pipeline_run
+    members = catalog.read_table("cluster_members")
+    assert set(members.columns) == {
+        "cluster_id", "image_id", "caption", "phash",
+        "z_minScore", "z_maxScore", "datetime",
+    }
+    # matched records carry min<=max scores; singletons carry nulls
+    bad = members.where(
+        F.col("z_minScore").isNotNull() & (F.col("z_minScore") > F.col("z_maxScore"))
+    ).count()
+    assert bad == 0
+
+
+def test_resume_is_idempotent_and_skips(spark, small_corpus, pipeline_run):
+    catalog, images, first = pipeline_run
+    before = {t: catalog.snapshot_id(t) for t in
+              ("signatures", "candidate_pairs", "verified_pairs",
+               "assignments", "cluster_members")}
+    second = run_initial(spark, images, catalog, CFG)
+    for t, snap in before.items():
+        assert catalog.snapshot_id(t) == snap, f"stage {t} re-ran"
+        assert second[t]["resumed"] is True
+
+
+def test_config_change_invalidates_resume(spark, small_corpus, pipeline_run):
+    catalog, images, _ = pipeline_run
+    cfg2 = ERConfig(shuffle_partitions=8, phash_hamming_max=9)
+    snap_before = catalog.snapshot_id("verified_pairs")
+    run_initial(spark, images, catalog, cfg2)
+    assert catalog.snapshot_id("verified_pairs") != snap_before
+
+
+def test_decode_invariant_clean(spark, small_corpus):
+    from customer_er_spark.operators.verify import check_decode_invariant
+
+    images = spark.read.parquet(f"{small_corpus['dir']}/images.parquet")
+    violations = check_decode_invariant(images, CFG)
+    assert violations.count() == 0
+
+
+def test_connected_components_vs_union_find(spark):
+    from customer_er_spark.operators.components import connected_components
+
+    rng = np.random.default_rng(5)
+    n, m = 200, 260
+    edges = [(f"n{int(a):04d}", f"n{int(b):04d}")
+             for a, b in rng.integers(0, n, (m, 2)) if a != b]
+
+    parent = {f"n{i:04d}": f"n{i:04d}" for i in range(n)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    oracle = {}
+    for node in parent:
+        oracle.setdefault(find(node), set()).add(node)
+    oracle_assign = {n_: min(c) for c in oracle.values() for n_ in c if len(c) > 1}
+
+    df = spark.createDataFrame(edges, ["id_l", "id_r"])
+    got = {
+        r["image_id"]: r["cluster_id"]
+        for r in connected_components(df).collect()
+    }
+    want = {n_: cid for n_, cid in oracle_assign.items()}
+    assert got == want
