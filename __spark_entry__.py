@@ -1,10 +1,20 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship near-duplicate clustering over the
+sf0.001 documents table; `queries()` exposes one callable per implemented
+operator from SURVEY.md §2 (+ the training-data-pipeline operator family);
+`oracle_sql()` gives the DuckDB-equivalent SQL for every SQL-expressible
+query.  Non-SQL-expressible ops (MinHash/SimHash LSH, ANN, fingerprints,
+connected components over fuzzy graphs) are present without an oracle and
+get the driver's rows-only check.
+
+Determinism notes baked into every oracle pair:
+  * monetary sums go through DECIMAL (exact associativity) then back to
+    DOUBLE, so shuffle-order float drift can't flip a digit;
+  * ratio outputs are (numerator, denominator) integer pairs — round() of
+    dyadic rationals can land on decimal .5 ties where HALF_UP (Spark) and
+    half-even engines disagree;
+  * every LIMIT/top-k orders by a unique full key.
 """
 
 from __future__ import annotations
@@ -12,27 +22,483 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from customer_er_spark.config import ERConfig
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+_CFG = ERConfig(shuffle_partitions=32)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Near-duplicate document clustering (the text twin of the image
+    pipeline): MinHash LSH candidates -> Jaccard verify -> connected
+    components -> every doc assigned a deterministic cluster_id."""
+    from customer_er_spark.operators.dedup import dedup_clusters, minhash_lsh_pairs
+
+    docs = _t(spark, SF_DEFAULT, "documents")
+    pairs = minhash_lsh_pairs(docs, _CFG, jaccard_min=0.5)
+    clusters = dedup_clusters(pairs.select("id_l", "id_r"))
+    return (
+        docs.select(F.col("doc_id").cast("string").alias("doc_id"))
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational operator parity (SURVEY.md §2.A) — all DuckDB-checked
+# ---------------------------------------------------------------------------
+
+
+def q_dup_histogram(spark, sf):
+    # two stacked groupBys: dup detection + cluster-size histogram
+    # (≙ /root/reference/01_Prepare_Data.py:241-248, 02B:270-282)
+    per_key = (
+        _t(spark, sf, "orders").groupBy("o_custkey").agg(F.count("*").alias("recs"))
+    )
+    return (
+        per_key.groupBy("recs")
+        .agg(F.count("*").alias("clusters"))
+    )
+
+
+def q_selfjoin_dups(spark, sf):
+    # self-join + theta filter + distinct (≙ 01:263-276)
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "source")
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+    )
+
+
+def q_argmax_order(spark, sf):
+    # arg-max via agg + join-back (≙ 03:262-275), min-key tie-break
+    o = _t(spark, sf, "orders")
+    mx = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.max("o_totalprice").alias("max_price")
+    )
+    return (
+        o.join(
+            mx,
+            (o.o_custkey == mx.ck) & (o.o_totalprice == mx.max_price),
+        )
+        .groupBy("o_custkey", "max_price")
+        .agg(F.min("o_orderkey").alias("o_orderkey"))
+    )
+
+
+def q_nullsafe_join(spark, sf):
+    # COALESCE-canonicalized equi-join (≙ 03:220-242)
+    c = _t(spark, sf, "customer").withColumn(
+        "ck", F.coalesce(F.nullif(F.col("c_nationkey"), F.lit(3)), F.lit(-1))
+    )
+    s = _t(spark, sf, "supplier").withColumn(
+        "sk", F.coalesce(F.nullif(F.col("s_nationkey"), F.lit(3)), F.lit(-1))
+    )
+    return (
+        c.join(s, c.ck == s.sk)
+        .groupBy(F.col("ck").alias("join_key"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+def q_pricing_summary(spark, sf):
+    # TPC-H Q1-shaped scan+filter+agg; decimal-exact sums
+    li = _t(spark, sf, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(dec("l_discount")).cast("double").alias("sum_discount"),
+        F.count("*").alias("count_order"),
+    )
+
+
+def q_revenue_per_nation(spark, sf):
+    # multi-join with broadcast dims (≙ A13/A15); nation+region are tiny
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_window_topk(spark, sf):
+    # window arg-max (our upgrade of the reference's agg+join-back A12)
+    c = _t(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rn")
+    )
+
+
+def q_anti_join(spark, sf):
+    # left_anti ≙ the pandas isin-negation at 02A:268
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_semi_join(spark, sf):
+    p = _t(spark, sf, "part")
+    li = _t(spark, sf, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+def q_events_hourly(spark, sf):
+    # event-time windowed aggregation (batch twin of the streaming path)
+    e = _t(spark, sf, "events")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+
+
+def q_topk_events(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .limit(100)
+        .select("event_id", "value")
+    )
+
+
+def q_distinct_types(spark, sf):
+    return _t(spark, sf, "events").select("event_type").distinct()
+
+
+# ---------------------------------------------------------------------------
+# training-data operators — dedup / text analysis (documents table)
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark, sf):
+    from customer_er_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf, "documents"))
+
+
+def q_token_counts(spark, sf):
+    from customer_er_spark.operators.textops import token_counts
+
+    return token_counts(_t(spark, sf, "documents"))
+
+
+def q_quality_counts(spark, sf):
+    from customer_er_spark.operators.textops import quality_counts
+
+    return quality_counts(_t(spark, sf, "documents"))
+
+
+def q_lang_distribution(spark, sf):
+    return (
+        _t(spark, sf, "documents").groupBy("lang").agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_ngram_jaccard(spark, sf):
+    from customer_er_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), n=3, jaccard_min=0.6
+    ).select("id_l", "id_r", "n_inter", "n_union")
+
+
+def q_minhash_lsh_pairs(spark, sf):
+    from customer_er_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf, "documents"), _CFG, jaccard_min=0.5).select(
+        "id_l", "id_r"
+    )
+
+
+def q_simhash_pairs(spark, sf):
+    from customer_er_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf, "documents"), hamming_max=6)
+
+
+def q_dedup_clusters(spark, sf):
+    from customer_er_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_t(spark, sf, "documents"), n=3, jaccard_min=0.8)
+    return dedup_clusters(pairs.select("id_l", "id_r"))
+
+
+def q_doc_fingerprints(spark, sf):
+    from customer_er_spark.operators.textops import fingerprints
+
+    return fingerprints(_t(spark, sf, "documents"))
+
+
+def q_lang_id(spark, sf):
+    from customer_er_spark.operators.textops import language_id
+
+    return language_id(_t(spark, sf, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# similarity search (embeddings table)
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_topk(spark, sf):
+    from customer_er_spark.operators.similarity import brute_force_topk
+
+    return brute_force_topk(_t(spark, sf, "embeddings"), k=5, dim=64)
+
+
+def q_embedding_topk_lsh(spark, sf):
+    from customer_er_spark.operators.similarity import lsh_topk
+
+    return lsh_topk(_t(spark, sf, "embeddings"), k=5, dim=64)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "dup_histogram": q_dup_histogram,
+        "selfjoin_dups": q_selfjoin_dups,
+        "argmax_order": q_argmax_order,
+        "nullsafe_join": q_nullsafe_join,
+        "pricing_summary": q_pricing_summary,
+        "revenue_per_nation": q_revenue_per_nation,
+        "window_topk": q_window_topk,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "events_hourly": q_events_hourly,
+        "topk_events": q_topk_events,
+        "distinct_types": q_distinct_types,
+        "exact_dedup": q_exact_dedup,
+        "token_counts": q_token_counts,
+        "quality_counts": q_quality_counts,
+        "lang_distribution": q_lang_distribution,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "doc_fingerprints": q_doc_fingerprints,
+        "lang_id": q_lang_id,
+        "embedding_topk": q_embedding_topk,
+        "embedding_topk_lsh": q_embedding_topk_lsh,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
+def _cosine_sql() -> str:
+    dot = "+".join(
+        f"(CAST(a.embedding[{i}] AS DOUBLE)*CAST(b.embedding[{i}] AS DOUBLE))"
+        for i in range(1, 65)
+    )
+    na = "+".join(
+        f"(CAST(a.embedding[{i}] AS DOUBLE)*CAST(a.embedding[{i}] AS DOUBLE))"
+        for i in range(1, 65)
+    )
+    nb = "+".join(
+        f"(CAST(b.embedding[{i}] AS DOUBLE)*CAST(b.embedding[{i}] AS DOUBLE))"
+        for i in range(1, 65)
+    )
+    return f"""
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ({dot})/(sqrt({na})*sqrt({nb})) AS cos
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id != b.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "dup_histogram": """
+            SELECT recs, count(*) AS clusters FROM (
+              SELECT o_custkey, count(*) AS recs FROM orders GROUP BY o_custkey
+            ) GROUP BY recs
+        """,
+        "selfjoin_dups": """
+            SELECT DISTINCT a.doc_id AS doc_id
+            FROM documents a JOIN documents b
+              ON a.lang = b.lang AND a.source = b.source
+             AND a.doc_id != b.doc_id
+        """,
+        "argmax_order": """
+            SELECT o.o_custkey, m.max_price, min(o.o_orderkey) AS o_orderkey
+            FROM orders o JOIN (
+              SELECT o_custkey AS ck, max(o_totalprice) AS max_price
+              FROM orders GROUP BY o_custkey
+            ) m ON o.o_custkey = m.ck AND o.o_totalprice = m.max_price
+            GROUP BY o.o_custkey, m.max_price
+        """,
+        "nullsafe_join": """
+            SELECT COALESCE(NULLIF(c.c_nationkey, 3), -1) AS join_key,
+                   count(*) AS n_pairs
+            FROM customer c JOIN supplier s
+              ON COALESCE(NULLIF(c.c_nationkey, 3), -1)
+               = COALESCE(NULLIF(s.s_nationkey, 3), -1)
+            GROUP BY 1
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_discount,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_per_nation": """
+            SELECT r_name, n_name,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   count(*) AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "window_topk": """
+            SELECT c_nationkey, c_custkey, c_acctbal, CAST(rn AS INT) AS rn FROM (
+              SELECT c_nationkey, c_custkey, c_acctbal,
+                     row_number() OVER (PARTITION BY c_nationkey
+                                        ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+              FROM customer
+            ) WHERE rn <= 3
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "semi_join": """
+            SELECT p_brand, count(*) AS n_parts FROM part p
+            WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+            GROUP BY p_brand
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "topk_events": """
+            SELECT event_id, value FROM events
+            ORDER BY value DESC, event_id ASC LIMIT 100
+        """,
+        "distinct_types": "SELECT DISTINCT event_type FROM events",
+        "exact_dedup": f"""
+            SELECT md5({_NORM}) AS text_hash, count(*) AS n_copies,
+                   min(doc_id) AS keep_id
+            FROM documents GROUP BY 1
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT)
+                     AS n_tokens_ws,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(
+                          trim(regexp_replace(trim(text),
+                               '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s])', '\1 ', 'g')),
+                          '\s+')) END AS INT) AS n_tokens_bpe
+            FROM documents
+        """,
+        "quality_counts": r"""
+            SELECT doc_id,
+                   CAST(length(text) AS INT) AS n_chars_q,
+                   CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS INT) AS n_alpha,
+                   CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS n_digit,
+                   CAST(length(text)
+                        - (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))
+                        - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                        - (length(text) - length(regexp_replace(text, '\s', '', 'g'))) AS INT) AS n_punct,
+                   CAST(len(regexp_split_to_array(text,
+                        '(?i)\b(the|a|an|and|or|of|to|in|is|it)\b')) - 1 AS INT) AS n_stop
+            FROM documents
+        """,
+        "lang_distribution": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+        "ngram_jaccard": f"""
+            WITH d AS (SELECT doc_id, {_NORM} AS t FROM documents),
+            pos AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - 2)) AS g
+                    FROM d WHERE length(t) >= 3),
+            grams AS (SELECT DISTINCT doc_id, substring(t, CAST(g AS INT), 3) AS gram FROM pos),
+            sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS n_inter
+                      FROM grams a JOIN grams b
+                        ON a.gram = b.gram AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT id_l, id_r, n_inter,
+                   (sl.n_grams + sr.n_grams - n_inter) AS n_union
+            FROM inter
+            JOIN sizes sl ON id_l = sl.doc_id
+            JOIN sizes sr ON id_r = sr.doc_id
+            WHERE CAST(n_inter AS DOUBLE) / (sl.n_grams + sr.n_grams - n_inter) >= 0.6
+        """,
+        "embedding_topk": _cosine_sql(),
+        # minhash_lsh_pairs / simhash_pairs / dedup_clusters / doc_fingerprints
+        # / lang_id / embedding_topk_lsh: hash-randomized or iterative —
+        # rows-only check by design.
+    }
+
+
+if __name__ == "__main__":
+    from customer_er_spark.session import get_spark
+
+    s = get_spark("entry-smoke")
+    df = entry(s)
+    print("entry rows:", df.count())
+    df.show(5)

@@ -1,0 +1,126 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus the flagship image+caption dedup pipeline
+end-to-end on a deterministic synthetic corpus (cached across runs), and
+reports per-query seconds + pipeline images/sec.
+
+    {"metric": "e2e_sec", "value": <total>, "unit": "sec",
+     "queries": {...}, "sf": <sf>, "images_per_sec": <thr>, ...}
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+tools/bench_scaling.py, which shells out to this file at two parallelism
+levels and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_BENCH_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "6000"))
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "revenue_per_nation",
+    "window_topk",
+    "events_hourly",
+    "argmax_order",
+    "exact_dedup",
+    "token_counts",
+    "quality_counts",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "embedding_topk_lsh",
+]
+
+
+def _sf_label(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def bench_corpus_dir() -> str:
+    """Deterministic corpus cache — datagen(seed) always produces the same
+    bytes, so reuse across bench runs is safe."""
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "data", f"bench_images_{N_BENCH_IMAGES}")
+    marker = os.path.join(d, "images.parquet")
+    if not os.path.exists(marker):
+        from customer_er_spark.datagen import write_corpus
+
+        n_base = int(N_BENCH_IMAGES / 1.25)  # dup_fraction 0.25
+        write_corpus(d, n_base=n_base, dup_fraction=0.25, seed=42)
+    return d
+
+
+def main() -> None:
+    from customer_er_spark.config import ERConfig
+    from customer_er_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    corpus = bench_corpus_dir()
+
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    qfns = entry_mod.queries()
+    timings: dict[str, float] = {}
+
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qfns[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
+
+    # flagship: full image+caption dedup pipeline, fresh catalog
+    from customer_er_spark.catalog import SparkCatalog
+    from customer_er_spark.plans.pipeline import recall_vs_truth, run_initial
+
+    cat_dir = tempfile.mkdtemp(prefix="bench_cat_")
+    try:
+        catalog = SparkCatalog(spark, cat_dir)
+        images = spark.read.parquet(f"{corpus}/images.parquet")
+        n_images = images.count()
+        cfg = ERConfig(shuffle_partitions=CPUS)
+        t0 = time.time()
+        run_initial(spark, images, catalog, cfg)
+        pipe_sec = round(time.time() - t0, 3)
+        truth = spark.read.parquet(f"{corpus}/truth_pairs.parquet")
+        rec = recall_vs_truth(
+            spark, catalog.read_table("cluster_members"), truth
+        )
+    finally:
+        shutil.rmtree(cat_dir, ignore_errors=True)
+
+    timings["image_dedup_pipeline"] = pipe_sec
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "e2e_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_label(SF_DIR),
+        "cpus": CPUS,
+        "pipeline_images": n_images,
+        "images_per_sec": round(n_images / pipe_sec, 1),
+        "pipeline_recall": round(rec["recall"], 4),
+        "pipeline_precision": round(rec["precision"], 4),
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from customer_er_spark.functions.hashing import mix_keys, shingle_hashes
+from customer_er_spark.functions.hashing import mix_keys, murmur_mix, shingle_hashes
 
 _HASH_CHUNK = 16  # permutations mixed per pass; bounds peak memory to
                   # _HASH_CHUNK * total_shingles uint64s per Arrow batch
@@ -40,29 +40,40 @@ def minhash_batch(
     flat = (
         np.concatenate(shingle_arrays)
         if shingle_arrays
-        else np.zeros(0, dtype=np.uint64)
+        else np.zeros(0, dtype=np.int64)
     )
     n_docs = len(lens)
-    sig = np.full((n_docs, num_hashes), np.iinfo(np.uint64).max, dtype=np.uint64)
+    # int64 throughout (see functions/hashing.py); "infinity" sentinel for
+    # empty docs = int64 max
+    sig = np.full((n_docs, num_hashes), np.iinfo(np.int64).max, dtype=np.int64)
     if len(flat):
         offsets = np.zeros(n_docs, dtype=np.int64)
         np.cumsum(lens[:-1], out=offsets[1:])
         nonempty = lens > 0
         # reduceat needs strictly valid segment starts; empty docs keep max
         starts = offsets[nonempty]
-        for c0 in range(0, num_hashes, _HASH_CHUNK):
-            kchunk = keys[c0:c0 + _HASH_CHUNK]
-            with np.errstate(over="ignore"):
-                mixed = flat[None, :] ^ kchunk[:, None]
-                mixed ^= mixed >> np.uint64(33)
-                mixed *= np.uint64(0xFF51AFD7ED558CCD)
-                mixed ^= mixed >> np.uint64(33)
-            mins = np.minimum.reduceat(mixed, starts, axis=1)
-            # reduceat segment i spans starts[i]..starts[i+1]; the last spans
-            # to the end of flat — correct because trailing docs are nonempty
-            # or excluded via `nonempty`.
-            sig[nonempty, c0:c0 + len(kchunk)] = mins.T
-    return sig.view(np.int64)
+        # In-place mixing into two reused buffers: large fresh allocations
+        # page-fault expensively in sandboxed kernels, so the hot loop must
+        # not allocate.  Per permutation: murmur fmix64 (shift/xor/mult) of
+        # flat^key, then segment-min via reduceat.
+        buf = np.empty_like(flat)
+        tmp = np.empty_like(flat)
+        C3 = np.int64(np.uint64(0xFF51AFD7ED558CCD).astype(np.int64))
+        bu = buf.view(np.uint64)
+        tu = tmp.view(np.uint64)
+        with np.errstate(over="ignore"):
+            for h in range(num_hashes):
+                np.bitwise_xor(flat, keys[h], out=buf)
+                np.right_shift(bu, np.uint64(33), out=tu)
+                np.bitwise_xor(buf, tmp, out=buf)
+                np.multiply(buf, C3, out=buf)
+                np.right_shift(bu, np.uint64(33), out=tu)
+                np.bitwise_xor(buf, tmp, out=buf)
+                # reduceat segment i spans starts[i]..starts[i+1]; the last
+                # spans to the end of flat — correct because empty docs are
+                # excluded via `nonempty`.
+                sig[nonempty, h] = np.minimum.reduceat(buf, starts)
+    return sig
 
 
 def make_minhash_udf(k: int, num_hashes: int, seed: int):

@@ -21,16 +21,17 @@ def simhash64(text: str | None) -> int:
     h = token_hashes(text or "")
     if len(h) == 0:
         return 0
-    bits = (h[:, None] >> _BITS[None, :]) & np.uint64(1)  # (T, 64)
-    votes = bits.astype(np.int64) * 2 - 1
+    # uint64 view for the (fast) shifts, int64 view for the (fast) mask —
+    # uint64 binary ufuncs hit a slow path on this numpy build
+    shifted = (h.view(np.uint64)[:, None] >> _BITS[None, :]).view(np.int64)
+    bits = shifted & np.int64(1)  # (T, 64)
+    votes = bits * 2 - 1
     acc = votes.sum(axis=0)
-    val = np.uint64(0)
+    val = 0
     for i in range(64):
         if acc[i] > 0:
-            val |= np.uint64(1) << np.uint64(i)
-    return int(val.astype(np.int64)) if val < (1 << 63) else int(
-        np.uint64(val).astype(np.int64)
-    )
+            val |= 1 << i
+    return val - (1 << 64) if val >= (1 << 63) else val
 
 
 def simhash_batch(texts) -> np.ndarray:

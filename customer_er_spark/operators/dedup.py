@@ -1,0 +1,222 @@
+"""Deduplication operator family over text documents.
+
+The image+caption pipeline (plans/pipeline.py) is the flagship; these are
+the same LSH machinery re-targeted at a plain `documents(doc_id, text, ...)`
+table — the operator set a large-scale training-data pipeline needs:
+
+  exact_dedup          hash-groupBy on normalized text (pure SQL, md5)
+  minhash_lsh_pairs    shingle -> MinHash -> band -> bucket self-join
+  simhash_pairs        64-bit SimHash, banded by pigeonhole chunks
+  ngram_jaccard_pairs  exact character-n-gram Jaccard via a gram join
+                       (pure SQL — the DuckDB-checkable near-dup oracle)
+  dedup_clusters       connected components over any pair set -> keep/drop
+
+All declarative where possible; Python only inside Arrow-batched pandas UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from customer_er_spark.config import ERConfig
+from customer_er_spark.functions.minhash import make_minhash_udf
+from customer_er_spark.functions.simhash import simhash_udf
+from customer_er_spark.functions.text import normalize_caption
+from customer_er_spark.operators.components import connected_components
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(text_hash, n_copies, keep_id): one row per distinct normalized text
+    with >= 1 copy; keep_id = min id (deterministic survivor)."""
+    norm = normalize_caption(F.col(text_col))
+    return (
+        docs.select(F.col(id_col), F.md5(norm).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, cfg: ERConfig, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    mh = make_minhash_udf(cfg.shingle_k, cfg.num_hashes, cfg.minhash_seed)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        normalize_caption(F.col(text_col)).alias("text_norm"),
+    ).withColumn("minhash", mh(F.col("text_norm")))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    cfg: ERConfig | None = None,
+    jaccard_min: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup candidate pairs via MinHash LSH, verified by the signature
+    Jaccard estimate: (id_l, id_r, jacc)."""
+    cfg = cfg or ERConfig()
+    # persist: the signature is referenced three times (banding + both join
+    # sides); without it the pandas UDF recomputes per reference.  In the
+    # checkpointed pipeline (plans/pipeline.py) the catalog write plays this
+    # role durably.
+    sig = minhash_signatures(docs, cfg, id_col, text_col).persist()
+    keys = [
+        F.xxhash64(
+            F.lit(b),
+            *[
+                F.element_at("minhash", b * cfg.rows_per_band + r + 1)
+                for r in range(cfg.rows_per_band)
+            ],
+        )
+        for b in range(cfg.bands)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*keys)).alias("band_key")
+    ).repartition(cfg.shuffle_partitions, "band_key")
+    left = bands.select("band_key", F.col("doc_id").alias("id_l"))
+    right = bands.select("band_key", F.col("doc_id").alias("id_r"))
+    pairs = (
+        left.join(right, "band_key")
+        .where(F.col("id_l") < F.col("id_r"))
+        .select("id_l", "id_r")
+        .distinct()
+    )
+    sl = sig.select(F.col("doc_id").alias("id_l"), F.col("minhash").alias("mh_l"))
+    sr = sig.select(F.col("doc_id").alias("id_r"), F.col("minhash").alias("mh_r"))
+    return (
+        pairs.join(sl, "id_l")
+        .join(sr, "id_r")
+        .withColumn(
+            "jacc",
+            F.aggregate(
+                F.zip_with("mh_l", "mh_r", lambda a, b: (a == b).cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.lit(float(cfg.num_hashes)),
+        )
+        .where(F.col("jacc") >= jaccard_min)
+        .select("id_l", "id_r", F.round("jacc", 6).alias("jacc"))
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    hamming_max: int = 6,
+    chunks: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by SimHash: banded by pigeonhole on `chunks` equal
+    slices (guaranteed recall for Hamming <= chunks-1), verified by full
+    64-bit Hamming <= hamming_max.  Pure SQL after the hash UDF."""
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"),
+        simhash_udf(normalize_caption(F.col(text_col))).alias("simhash"),
+    )
+    bits = 64 // chunks
+    mask = (1 << bits) - 1
+    keys = [
+        F.xxhash64(
+            F.lit(c),
+            F.shiftrightunsigned("simhash", c * bits).bitwiseAND(F.lit(mask)),
+        )
+        for c in range(chunks)
+    ]
+    bands = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*keys)).alias("band_key")
+    )
+    left = bands.select(
+        "band_key", F.col("doc_id").alias("id_l"), F.col("simhash").alias("sh_l")
+    )
+    right = bands.select(
+        "band_key", F.col("doc_id").alias("id_r"), F.col("simhash").alias("sh_r")
+    )
+    return (
+        left.join(right, "band_key")
+        .where(F.col("id_l") < F.col("id_r"))
+        .select(
+            "id_l",
+            "id_r",
+            F.bit_count(F.col("sh_l").bitwiseXOR(F.col("sh_r"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= hamming_max)
+        .distinct()
+    )
+
+
+def ngram_grams(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, gram): distinct character n-grams — pure SQL (lateral
+    explode over positions), no UDF, so DuckDB can replay it exactly."""
+    norm = normalize_caption(F.col(text_col))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), norm.alias("t"))
+        .where(F.length("t") >= n)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("t") - (n - 1))).alias("g"),
+            "t",
+        )
+        .select("doc_id", F.substring(F.col("t"), F.col("g"), n).alias("gram"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    jaccard_min: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram-set Jaccard near-dup pairs: (id_l, id_r, jacc).
+
+    gram inverted-index self-join -> per-pair intersection count ->
+    |A|+|B|-|∩| union.  Exact (not probabilistic) — this is the oracle-
+    checkable twin of minhash_lsh_pairs.  At scale the gram join is the
+    skew risk (stopword-like grams): AQE skew-join splits those partitions;
+    a df-style frequency cap can drop ubiquitous grams (> X% of docs) —
+    left as an explicit `max_doc_freq` follow-up, currently uncapped to
+    keep the oracle semantics exact.
+    """
+    grams = ngram_grams(docs, n, id_col, text_col)
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    gl = grams.select(F.col("doc_id").alias("id_l"), "gram")
+    gr = grams.select(F.col("doc_id").alias("id_r"), "gram")
+    inter = (
+        gl.join(gr, "gram")
+        .where(F.col("id_l") < F.col("id_r"))
+        .groupBy("id_l", "id_r")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sl = sizes.select(F.col("doc_id").alias("id_l"), F.col("n_grams").alias("sz_l"))
+    sr = sizes.select(F.col("doc_id").alias("id_r"), F.col("n_grams").alias("sz_r"))
+    # jacc is kept as the raw (unrounded) double; oracle comparisons should
+    # use the integer columns — round() of a dyadic-rational ratio (e.g.
+    # 1/128) can land exactly on a .5 decimal tie, where Spark (HALF_UP)
+    # and other engines (half-even) disagree.
+    return (
+        inter.join(sl, "id_l")
+        .join(sr, "id_r")
+        .withColumn("n_union", F.col("sz_l") + F.col("sz_r") - F.col("n_inter"))
+        .withColumn("jacc", F.col("n_inter") / F.col("n_union"))
+        .where(F.col("jacc") >= jaccard_min)
+        .select("id_l", "id_r", "n_inter", "n_union", "jacc")
+    )
+
+
+def dedup_clusters(pairs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id) via connected components over any pair set;
+    cluster_id = min doc_id in the component (survivor)."""
+    typed = pairs.select(
+        F.col("id_l").cast("string").alias("id_l"),
+        F.col("id_r").cast("string").alias("id_r"),
+    )
+    return connected_components(typed).select(
+        F.col("image_id").alias("doc_id"), "cluster_id"
+    )

@@ -80,9 +80,13 @@ def phash64_batch(gray_batch: np.ndarray) -> np.ndarray:
     d = np.einsum("ij,bjk,lk->bil", _BASIS, gray_batch, _BASIS)
     flat = d[:, :_K, :_K].reshape(len(gray_batch), _K * _K)
     med = np.median(flat[:, 1:], axis=1, keepdims=True)
-    bits = (flat > med).astype(np.uint64)
-    weights = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
-    return (bits * weights).sum(axis=1, dtype=np.uint64).astype(np.int64)
+    bits = (flat > med).astype(np.int64)
+    # int64 arithmetic with wraparound (uint64 binary ufuncs are slow on
+    # this numpy build); bit 0 (the MSB weight) wraps to int64 min, which
+    # matches the two's-complement packing of phash64()
+    weights = (np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)).view(np.int64)
+    with np.errstate(over="ignore"):
+        return (bits * weights).sum(axis=1).astype(np.int64)
 
 
 def hamming64(a: int, b: int) -> int:
