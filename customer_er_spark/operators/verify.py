@@ -48,10 +48,21 @@ def _attach_sides(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
 def verify_pairs(
     pairs: DataFrame, signatures: DataFrame, cfg: ERConfig
 ) -> DataFrame:
-    """-> (id_l, id_r, hamming, caption_sim, score, is_match)"""
-    df = _attach_sides(pairs, signatures)
+    """-> (id_l, id_r, hamming, caption_sim, image_sim, score, is_match)
 
-    df = df.withColumn(
+    The expensive tier-3 LCS UDF runs ONLY on pairs that (a) already pass
+    the pHash Hamming gate — a pair failing it can never be a match, so
+    refining its caption similarity can't change the verdict — and (b)
+    have unequal captions with a MinHash-Jaccard estimate inside the
+    ambiguity band.  On adversarially self-similar corpora this cuts the
+    Python-side work from O(candidates) to O(true near-dups).
+
+    Built as base + left-join of the tiny LCS refinement (broadcast) rather
+    than a 3-way union, so the candidate<->signature attach join is
+    evaluated once per scan instead of once per branch.
+    """
+    base = _attach_sides(pairs, signatures)
+    base = base.withColumn(
         "hamming",
         F.bit_count(F.col("phash_l").bitwiseXOR(F.col("phash_r"))),
     ).withColumn(
@@ -66,25 +77,29 @@ def verify_pairs(
         / F.lit(float(cfg.num_hashes)),
     )
 
-    # split so the LCS UDF physically runs only on the ambiguity band
-    # (when()/otherwise() would evaluate the UDF on every row)
-    eq = df.where(F.col("cap_l") == F.col("cap_r")).withColumn(
-        "caption_sim", F.lit(1.0)
-    )
-    neq = df.where(~(F.col("cap_l") == F.col("cap_r")))
-    clear = neq.where(
-        (F.col("jacc") >= cfg.jacc_hi) | (F.col("jacc") < cfg.jacc_lo)
-    ).withColumn("caption_sim", F.col("jacc"))
-    border = neq.where(
-        (F.col("jacc") >= cfg.jacc_lo) & (F.col("jacc") < cfg.jacc_hi)
-    ).withColumn(
-        "caption_sim",
-        F.greatest(F.col("jacc"), lcs_ratio_udf(F.col("cap_l"), F.col("cap_r"))),
+    border_lcs = (
+        base.where(
+            (F.col("hamming") <= F.lit(cfg.phash_hamming_max))
+            & (~(F.col("cap_l") == F.col("cap_r")))
+            & (F.col("jacc") >= cfg.jacc_lo)
+            & (F.col("jacc") < cfg.jacc_hi)
+        )
+        .select(
+            "id_l",
+            "id_r",
+            lcs_ratio_udf(F.col("cap_l"), F.col("cap_r")).alias("lcs"),
+        )
     )
 
-    scored = eq.unionByName(clear).unionByName(border)
     scored = (
-        scored.withColumn(
+        base.join(F.broadcast(border_lcs), ["id_l", "id_r"], "left")
+        .withColumn(
+            "caption_sim",
+            F.when(F.col("cap_l") == F.col("cap_r"), F.lit(1.0)).otherwise(
+                F.greatest(F.col("jacc"), F.coalesce(F.col("lcs"), F.lit(0.0)))
+            ),
+        )
+        .withColumn(
             "image_sim", F.lit(1.0) - F.col("hamming") / F.lit(64.0)
         )
         .withColumn(
