@@ -54,8 +54,17 @@ def _make_image(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
 
 
 def _caption(rng: np.random.Generator) -> str:
+    """5-30 vocab words plus two high-entropy tokens.  Natural captions are
+    near-unique across unrelated images; without the entropy tokens every
+    caption shares most 5-char shingles with every other (200-word vocab)
+    and LSH candidate volume degenerates to O(n^2), which no real corpus
+    exhibits.  Planted duplicates still copy the full caption, so true-pair
+    Jaccard stays high."""
     n = int(rng.integers(5, 31))
-    return " ".join(_VOCAB[i] for i in rng.integers(0, len(_VOCAB), n))
+    words = [_VOCAB[i] for i in rng.integers(0, len(_VOCAB), n)]
+    words.insert(int(rng.integers(0, len(words))), f"x{int(rng.integers(0, 10**9)):09d}")
+    words.append(f"k{int(rng.integers(0, 10**9)):09d}")
+    return " ".join(words)
 
 
 def _typo_caption(rng: np.random.Generator, caption: str, n_typos: int = 2) -> str:

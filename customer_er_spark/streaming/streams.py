@@ -1,0 +1,126 @@
+"""Streaming operators: watermarked windowed aggregation, streaming exact
+dedup, and the micro-batch image-registry ingest.
+
+Design: transformations are pure functions DataFrame -> DataFrame so the
+same code path serves batch tests and streaming queries; the stateful
+registry update runs inside foreachBatch, where each micro-batch is a
+normal batch DataFrame and the existing incremental plan applies unchanged
+(idempotent via the catalog's snapshot commits + Spark's checkpointed batch
+ids).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from customer_er_spark.catalog import SparkCatalog
+from customer_er_spark.config import ERConfig
+
+IMAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("caption", T.StringType(), True),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+
+def windowed_event_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window counts + sums per event_type.
+    Late rows beyond the watermark are dropped by the engine; state is
+    bounded by (watermark + window)."""
+    # watermarks require TIMESTAMP_LTZ; parquet event time is often NTZ
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    w = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w.alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def exact_dedup_stream(
+    docs: DataFrame, watermark: str = "1 hour", ts_col: str = "ts"
+) -> DataFrame:
+    """Streaming exact dedup: first-seen row per normalized-text hash wins.
+    dropDuplicates state is bounded by the watermark (duplicates arriving
+    later than it may re-emit — the documented at-least-once trade-off)."""
+    from customer_er_spark.functions.text import normalize_caption
+
+    return (
+        docs.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withColumn("text_hash", F.md5(normalize_caption(F.col("text"))))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicates(["text_hash"])
+    )
+
+
+def stream_images_to_registry(
+    spark: SparkSession,
+    source_dir: str,
+    catalog: SparkCatalog,
+    cfg: ERConfig,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """File-source micro-batch ingest into the dedup registry.
+
+    Each micro-batch runs the existing incremental plan (link -> match ->
+    merge); the very first batch bootstraps the registry via run_initial.
+    Returns the StreamingQuery (caller awaits termination).
+
+    Exactly-once story: Spark's streaming checkpoint fences batch ids, and
+    every registry mutation is an atomic catalog snapshot commit, so a
+    replayed batch rewrites the same tables rather than double-inserting.
+    """
+    from customer_er_spark.plans.incremental import (
+        run_incremental_match,
+        run_link,
+    )
+    from customer_er_spark.plans.pipeline import run_initial
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if catalog.table_meta("cluster_members") is None:
+            run_initial(spark, batch_df, catalog, cfg)
+        else:
+            run_link(spark, batch_df, catalog, cfg)
+            run_incremental_match(spark, batch_df, catalog, cfg)
+
+    stream = (
+        spark.readStream.schema(IMAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

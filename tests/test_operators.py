@@ -1,0 +1,155 @@
+"""Operator-library tests: similarity search, textops, multimodal plumbing,
+dedup variants."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from customer_er_spark.config import ERConfig
+
+CFG = ERConfig(shuffle_partitions=8)
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, embeddings):
+    from customer_er_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    bf = brute_force_topk(embeddings, k=5, dim=64)
+    # collision prob per table ~ (1 - theta/pi)^planes: these neighbors are
+    # only moderately similar, so recall needs few planes x many tables
+    approx = lsh_topk(embeddings, k=5, dim=64, n_planes=4, n_tables=16)
+    hits = bf.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+    total = bf.count()
+    assert total == embeddings.count() * 5
+    recall = hits / total
+    assert recall >= 0.75, recall  # approximate path; brute force is exact
+
+
+def test_brute_force_cosine_values(spark, embeddings):
+    from customer_er_spark.operators.similarity import brute_force_topk
+
+    rows = brute_force_topk(embeddings.limit(20), k=3, dim=64).collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in embeddings.limit(20).collect()}
+    for r in rows[:20]:
+        a, b = vecs[r["query_id"]], vecs[r["neighbor_id"]]
+        want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r["cos"] - want) < 1e-6
+
+
+def test_ngram_jaccard_exactness(spark):
+    from customer_er_spark.operators.dedup import ngram_jaccard_pairs
+
+    data = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "abcdefgh"), (3, "abcdxfgh"), (4, "zzzzzzzz")],
+        ["doc_id", "text"],
+    )
+    rows = {(r["id_l"], r["id_r"]): r for r in
+            ngram_jaccard_pairs(data, n=3, jaccard_min=0.1).collect()}
+    assert rows[(1, 2)]["jacc"] == 1.0
+    # "abcdefgh" vs "abcdxfgh": grams {abc,bcd,cde,def,efg,fgh} vs
+    # {abc,bcd,cdx,dxf,xfg,fgh} -> inter={abc,bcd,fgh}=3, union=9
+    assert rows[(1, 3)]["n_inter"] == 3
+    assert rows[(1, 3)]["n_union"] == 9
+    assert (1, 4) not in rows and (2, 4) not in rows
+
+
+def test_language_id(spark):
+    from customer_er_spark.operators.textops import language_id
+
+    data = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house is running"),
+            (2, "el perro de la casa que corre con la gata"),
+            (3, "xyzzy qwerty"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(data).collect()}
+    assert got[1] == "en"
+    assert got[2] == "es"
+    assert got[3] == "unknown"
+
+
+def test_fingerprint_stability(spark):
+    from customer_er_spark.operators.textops import fingerprints
+
+    data = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps")],
+        ["doc_id", "text"],
+    )
+    got = [r["fingerprint"] for r in fingerprints(data).collect()]
+    assert got[0] == got[1] != 0
+
+
+def test_multimodal_decode_meta(spark, small_corpus):
+    from customer_er_spark.operators.multimodal import decode_meta
+
+    images = spark.read.parquet(f"{small_corpus['dir']}/images.parquet").limit(50)
+    meta = decode_meta(images)
+    rows = meta.collect()
+    assert len(rows) == 50
+    assert all(r["ok"] for r in rows)
+    assert all(r["height"] == 32 and r["width"] == 32 for r in rows)
+    # poison row must not kill the stage
+    poisoned = images.withColumn(
+        "bytes", F.when(F.col("image_id").endswith("1"),
+                        F.lit(b"junk")).otherwise(F.col("bytes"))
+    )
+    bad = decode_meta(poisoned).where("NOT ok").count()
+    assert bad > 0
+
+
+def test_multimodal_stub_format_raises(spark, small_corpus):
+    from customer_er_spark.operators.multimodal import decode_meta
+
+    images = (
+        spark.read.parquet(f"{small_corpus['dir']}/images.parquet")
+        .limit(5)
+        .withColumn("fmt", F.lit("jpeg"))
+    )
+    # stubbed codec -> ok=False rows, not a crash
+    rows = decode_meta(images).collect()
+    assert all(not r["ok"] for r in rows)
+
+
+def test_multimodal_resize_and_features(spark, small_corpus):
+    from customer_er_spark.operators.multimodal import image_features, resize_images
+
+    images = spark.read.parquet(f"{small_corpus['dir']}/images.parquet").limit(20)
+    small = resize_images(images, 8, 8).collect()
+    assert all(r["h"] == 8 and r["w"] == 8 for r in small)
+    feats = image_features(images, n_bins=16).collect()
+    assert all(len(r["features"]) == 16 for r in feats)
+    assert all(abs(sum(r["features"]) - 1.0) < 1e-9 for r in feats)
+
+
+def test_frame_sample_plan(spark):
+    from customer_er_spark.operators.multimodal import frame_sample_plan
+
+    vids = spark.createDataFrame([("v1", 100), ("v2", 10)], ["image_id", "n_frames"])
+    rows = frame_sample_plan(vids, every_n=30).collect()
+    got = {(r["image_id"], r["frame_idx"]) for r in rows}
+    assert got == {("v1", 0), ("v1", 30), ("v1", 60), ("v1", 90), ("v2", 0)}
+
+
+def test_exact_dedup_survivor(spark):
+    from customer_er_spark.operators.dedup import exact_dedup
+
+    data = spark.createDataFrame(
+        [(10, "Same  Text"), (3, "same text"), (7, "other")],
+        ["doc_id", "text"],
+    )
+    rows = {r["text_hash"]: r for r in exact_dedup(data).collect()}
+    dup = [r for r in rows.values() if r["n_copies"] == 2]
+    assert len(dup) == 1 and dup[0]["keep_id"] == 3  # normalized + min id

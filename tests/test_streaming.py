@@ -1,0 +1,129 @@
+"""Structured Streaming tests: real streaming queries over file sources
+with availableNow triggers + memory sinks."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from customer_er_spark.config import ERConfig
+
+CFG = ERConfig(shuffle_partitions=8)
+
+
+def _wait(query, timeout=120):
+    query.awaitTermination(timeout)
+    if query.isActive:
+        query.stop()
+        raise AssertionError("streaming query did not finish in time")
+
+
+def test_windowed_event_agg_stream(spark, tmp_path):
+    from customer_er_spark.streaming.streams import windowed_event_agg
+
+    src = str(tmp_path / "events_src")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .parquet(src)
+    )
+    agg = windowed_event_agg(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_agg")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _wait(q)
+    got = spark.table("win_agg")
+    # batch oracle: same computation without watermarks
+    want = (
+        events.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .count()
+    )
+    # append mode only emits windows the watermark has passed; the final
+    # window may be withheld — allow <= and a sanity floor
+    assert 0 < got.count() <= want
+    assert set(got.columns) == {
+        "window_start", "window_end", "event_type", "n", "sum_value",
+    }
+
+
+def test_exact_dedup_stream(spark, tmp_path):
+    from customer_er_spark.streaming.streams import exact_dedup_stream
+
+    src = str(tmp_path / "docs_src")
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn("ts", F.current_timestamp())
+    )
+    # duplicate every doc once -> stream must emit each text exactly once
+    docs.union(docs).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        docs.schema
+    ).parquet(src)
+    q = (
+        exact_dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _wait(q)
+    got = spark.table("dedup_stream")
+    n_texts = docs.select("text").distinct().count()
+    assert got.count() == n_texts
+    assert got.select("text_hash").distinct().count() == n_texts
+
+
+def test_stream_images_to_registry(spark, small_corpus, tmp_path):
+    from customer_er_spark.catalog import SparkCatalog
+    from customer_er_spark.plans.pipeline import recall_vs_truth
+    from customer_er_spark.streaming.streams import stream_images_to_registry
+
+    src = str(tmp_path / "img_src")
+    os.makedirs(src)
+    images = spark.read.parquet(f"{small_corpus['dir']}/images.parquet")
+    # two files -> at least two micro-batches (maxFilesPerTrigger=4 caps it)
+    initial = spark.read.parquet(f"{small_corpus['dir']}/images_initial.parquet")
+    incremental = spark.read.parquet(
+        f"{small_corpus['dir']}/images_incremental.parquet"
+    )
+    initial.coalesce(1).write.parquet(src + "/batch0")
+    # file source needs a flat dir of files; write parts directly
+    import glob
+    import shutil
+
+    for i, part in enumerate(glob.glob(src + "/batch0/*.parquet")):
+        shutil.move(part, src + f"/a{i}.parquet")
+    shutil.rmtree(src + "/batch0")
+
+    catalog = SparkCatalog(spark, str(tmp_path / "cat"))
+    q = stream_images_to_registry(
+        spark, src, catalog, CFG, str(tmp_path / "ckpt")
+    )
+    _wait(q, 300)
+    assert catalog.read_table("cluster_members").count() == initial.count()
+
+    # drop the incremental file in and run a second availableNow pass
+    incremental.coalesce(1).write.parquet(src + "/batch1")
+    for i, part in enumerate(glob.glob(src + "/batch1/*.parquet")):
+        shutil.move(part, src + f"/b{i}.parquet")
+    shutil.rmtree(src + "/batch1")
+
+    q2 = stream_images_to_registry(
+        spark, src, catalog, CFG, str(tmp_path / "ckpt")
+    )
+    _wait(q2, 300)
+    members = catalog.read_table("cluster_members")
+    assert members.count() == small_corpus["rows"]
+    truth = spark.read.parquet(f"{small_corpus['dir']}/truth_pairs.parquet")
+    m = recall_vs_truth(spark, members, truth)
+    assert m["recall"] >= 0.99, m

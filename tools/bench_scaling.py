@@ -1,0 +1,135 @@
+"""Two-cluster-size scaling evidence (north rule: efficiency >= 0.8 between
+N and 4N executors; sandbox stand-in: local[8] vs local[32] via real
+spark-submit --py-files, same input).
+
+Writes BENCH/BASELINE.md with throughput at both sizes + efficiency
+    eff = (thr_4N / thr_N) / 4.
+
+Usage: python tools/bench_scaling.py [n_images] [repeats]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_pyfiles_zip() -> str:
+    dist = os.path.join(REPO, "dist")
+    os.makedirs(dist, exist_ok=True)
+    zpath = os.path.join(dist, "customer_er_spark.zip")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        pkg = os.path.join(REPO, "customer_er_spark")
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def corpus(n_images: int) -> str:
+    d = os.path.join(REPO, "data", f"bench_images_{n_images}")
+    if not os.path.exists(os.path.join(d, "images.parquet")):
+        sys.path.insert(0, REPO)
+        from customer_er_spark.datagen import write_corpus
+
+        write_corpus(d, n_base=int(n_images / 1.25), dup_fraction=0.25, seed=42)
+    return d
+
+
+def run_once(zpath: str, corpus_dir: str, cores: int) -> dict:
+    cat = tempfile.mkdtemp(prefix=f"scale_cat_{cores}_")
+    try:
+        out = subprocess.run(
+            [
+                "spark-submit",
+                "--master", f"local[{cores}]",
+                "--driver-memory", "24g",
+                "--py-files", zpath,
+                os.path.join(REPO, "tools", "pipeline_job.py"),
+                corpus_dir, cat, str(cores),
+            ],
+            capture_output=True, text=True, timeout=3600,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                return json.loads(line)
+        raise RuntimeError(f"no JSON from spark-submit: {out.stderr[-2000:]}")
+    finally:
+        shutil.rmtree(cat, ignore_errors=True)
+
+
+def main() -> None:
+    n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 24000
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    zpath = make_pyfiles_zip()
+    cdir = corpus(n_images)
+
+    results: dict[int, dict] = {}
+    for cores in (8, 32):
+        best = None
+        for r in range(repeats):
+            res = run_once(zpath, cdir, cores)
+            print(f"# local[{cores}] run {r}: {res}", file=sys.stderr)
+            if best is None or res["wall_sec"] < best["wall_sec"]:
+                best = res
+        results[cores] = best
+
+    thr8 = results[8]["images_per_sec"]
+    thr32 = results[32]["images_per_sec"]
+    eff = (thr32 / thr8) / 4.0
+    summary = {
+        "n_images": n_images,
+        "local8": results[8],
+        "local32": results[32],
+        "speedup_8_to_32": round(thr32 / thr8, 3),
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(summary))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    ts = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(f"""# BENCH/BASELINE — two-cluster-size scaling evidence
+
+Generated {ts} by `python tools/bench_scaling.py {n_images} {repeats}`.
+
+North rule: "run via spark-submit --py-files on a multi-executor cluster at
+two cluster sizes (N and 4N executors) with throughput scaling efficiency
+>= 0.8 between them."  No real cluster exists in this sandbox; per the
+driver instructions, the same job ran at two parallelism levels on one
+machine — real `spark-submit --master local[N] --py-files
+dist/customer_er_spark.zip tools/pipeline_job.py` — on the same input
+(deterministic {n_images}-image corpus, seed 42), best of {repeats} runs
+per size (single-machine wall-clock jitter in this sandbox is large).
+
+| cluster size | wall sec | images/sec | recall | precision |
+|---|---|---|---|---|
+| N = local[8] | {results[8]['wall_sec']} | {thr8} | {results[8]['recall']} | {results[8]['precision']} |
+| 4N = local[32] | {results[32]['wall_sec']} | {thr32} | {results[32]['recall']} | {results[32]['precision']} |
+
+speedup(8->32) = {summary['speedup_8_to_32']}x;
+**scaling efficiency = (thr_4N / thr_N) / 4 = {summary['scaling_efficiency']}**
+
+Caveats vs a real cluster: local[N] shares one JVM heap, one disk for
+shuffle, and one OS page cache across "executors", so memory-bandwidth and
+GC effects depress strong-scaling numbers that per-node-isolated executors
+would not see; there is no network shuffle cost (which works in the
+opposite direction).  The job itself sizes shuffle partitions to the core
+count and relies on AQE coalesce + skew-join, i.e. the same knobs a real
+4N-executor cluster run would use.
+""")
+    print("wrote BENCH/BASELINE.md", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
