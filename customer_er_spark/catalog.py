@@ -101,6 +101,9 @@ class SparkCatalog:
         n_files = sum(
             1 for f in os.listdir(data_dir) if f.endswith(".parquet")
         )
+        # row count from the written files (metadata-cheap column-pruned
+        # scan) — never df.count(), which would recompute the whole plan
+        rows_out = self.spark.read.parquet(data_dir).count()
         manifest = {
             "table": name,
             "snapshot_id": snap_id,
@@ -109,6 +112,7 @@ class SparkCatalog:
             "config_hash": config_hash,
             "inputs": inputs or {},
             "n_files": n_files,
+            "counts": {"rows_out": rows_out},
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             **(extra_meta or {}),
         }

@@ -79,16 +79,26 @@ def connected_components(
         .distinct()
     )
     edges = edges.localCheckpoint(eager=True)
+
+    def _sig(e: DataFrame) -> tuple:
+        # order-independent set signature: (count, bit_xor of row hashes) —
+        # one cheap agg job per round instead of two exceptAll shuffles;
+        # false convergence needs a 2^-64 xor collision at equal count
+        row = e.select(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("x"),
+        ).collect()[0]
+        return (row["n"], row["x"])
+
+    sig = _sig(edges)
     for it in range(max_iterations):
         new_edges = _small_star(_large_star(edges))
         new_edges = new_edges.localCheckpoint(eager=True)
-        changed = (
-            new_edges.exceptAll(edges).limit(1).count()
-            + edges.exceptAll(new_edges).limit(1).count()
-        )
+        new_sig = _sig(new_edges)
         edges = new_edges
-        if changed == 0:
+        if new_sig == sig:
             break
+        sig = new_sig
     else:  # pragma: no cover
         raise RuntimeError(f"components did not converge in {max_iterations} rounds")
 

@@ -28,6 +28,13 @@ def compute_signatures(images: DataFrame, cfg: ERConfig) -> DataFrame:
     minhash_udf = make_minhash_udf(cfg.shingle_k, cfg.num_hashes, cfg.minhash_seed)
     return (
         images.select("image_id", "caption", "phash")
+        # explicit fan-out BEFORE the UDFs: a compact input (few parquet
+        # files) otherwise yields few scan partitions and the signature
+        # stage runs on a fraction of the cluster; hash-partitioning by
+        # image_id is deterministic and pre-co-locates the later
+        # signature<->pair attach joins.  The wide `bytes` column was
+        # already projected away, so this shuffle is cheap.
+        .repartition(cfg.shuffle_partitions, "image_id")
         .withColumn("caption_norm", normalize_caption(F.col("caption")))
         .withColumn("minhash", minhash_udf(F.col("caption_norm")))
         .withColumn("simhash", simhash_udf(F.col("caption_norm")))

@@ -56,10 +56,7 @@ def run_initial(
             summary[name] = {"resumed": True, **catalog.table_meta(name)["counts"]}
             return catalog.read_table(name)
         df = build()
-        manifest = catalog.write_table(
-            df, name, config_hash=ch, inputs=inputs,
-            extra_meta={"counts": {"rows_out": df.count()}},
-        )
+        manifest = catalog.write_table(df, name, config_hash=ch, inputs=inputs)
         out = catalog.read_table(name)
         rows_out = manifest["counts"]["rows_out"]
         metrics.record(
@@ -81,8 +78,7 @@ def run_initial(
     def build_pairs():
         pairs, band_stats = candidate_pairs(sig, cfg)
         catalog.write_table(band_stats, "band_stats", config_hash=ch,
-                            inputs=sig_snap,
-                            extra_meta={"counts": {"rows_out": band_stats.count()}})
+                            inputs=sig_snap)
         return pairs
 
     cand = stage("candidate_pairs", sig_snap, build_pairs, n_images)
