@@ -26,9 +26,16 @@ class ERConfig:
     minhash_seed: int = 0x5EED
 
     # --- pHash banding -----------------------------------------------------
-    phash_chunks: int = 4        # 64-bit phash split into 4 x 16-bit band keys;
-                                 # any pair with Hamming(phash) <= phash_chunks-1
-                                 # shares at least one chunk (pigeonhole)
+    # multi-index pair-of-chunks scheme (cf. HmSearch / multi-index hashing):
+    # the 64-bit phash splits into `phash_chunks` equal chunks and every
+    # unordered pair of chunks forms one 2-chunk band key.  By pigeonhole a
+    # pair within Hamming distance h keeps >= chunks - h chunks clean, so
+    # with 8 chunks any pair at Hamming <= 6 shares at least one clean
+    # 2-chunk key — a stronger guarantee than single-chunk banding (<= 3)
+    # AND ~1e4x fewer random collisions (C(8,2)=28 keys of 16 effective
+    # bits vs 4 keys of 16 bits).
+    phash_chunks: int = 8
+    phash_clean_chunks: int = 2  # chunks per band key
     phash_hamming_max: int = 10  # verify threshold on full 64-bit Hamming
 
     # --- verification / scoring --------------------------------------------

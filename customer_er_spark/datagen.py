@@ -28,28 +28,53 @@ import pyarrow.parquet as pq
 
 from customer_er_spark import codecs, phash
 
-_VOCAB = [
-    f"{p}{s}"
-    for p in ("sun", "sky", "sea", "dog", "cat", "hill", "tree", "car", "bird",
-              "rock", "rain", "snow", "leaf", "wave", "star", "moon", "fish",
-              "sand", "wind", "fire")
-    for s in ("light", "shade", "view", "scene", "shot", "photo", "frame",
-              "field", "path", "edge")
-]
+def _build_vocab(n_words: int = 4000, seed: int = 1234) -> list[str]:
+    """Seeded random 4-9 letter words.  Natural-language realism matters for
+    LSH behavior: unrelated captions must share few character shingles.
+    (Earlier vocabs built from shared prefix/suffix stems made every caption
+    pair ~0.3-Jaccard similar and candidate volume quadratic — no real
+    caption corpus behaves that way.)"""
+    rng = np.random.default_rng(seed)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    # zipf-ish length distribution, rejection-free dedup via suffix counter
+    seen: set[str] = set()
+    out: list[str] = []
+    while len(out) < n_words:
+        ln = int(rng.integers(4, 10))
+        w = "".join(letters[rng.integers(0, 26, ln)])
+        if w not in seen:
+            seen.add(w)
+            out.append(w)
+    return out
+
+
+_VOCAB = _build_vocab()
 _FMTS = ["png", "raw", "qpng"]
 
 
 def _make_image(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
-    """Smooth random field: sinusoid mixture + mild noise, uint8 grayscale."""
+    """Natural-image stand-in: box-blurred white noise (1/f-ish spectrum)
+    + a few sinusoids + a random gradient, uint8 grayscale.
+
+    The blurred-noise base is what gives the pHash near-uniform, weakly
+    correlated bits (pure sinusoid mixtures produced heavily correlated
+    DCT signs — hot pHash LSH buckets no natural photo corpus would show).
+    """
+    noise = rng.normal(0, 1, (h + 8, w + 8))
+    k = np.ones(5) / 5.0
+    sm = np.apply_along_axis(lambda r: np.convolve(r, k, mode="same"), 1, noise)
+    sm = np.apply_along_axis(lambda c: np.convolve(c, k, mode="same"), 0, sm)
+    sm = sm[4:4 + h, 4:4 + w]
+    img = 60.0 * sm / max(float(sm.std()), 1e-9)
+
     yy, xx = np.mgrid[0:h, 0:w]
-    img = np.zeros((h, w))
-    for _ in range(4):
-        fy, fx = rng.uniform(0.02, 0.2, 2)
+    for _ in range(int(rng.integers(2, 6))):
+        fy, fx = rng.uniform(0.02, 0.25, 2)
         ph = rng.uniform(0, 2 * np.pi)
-        amp = rng.uniform(20, 60)
-        img += amp * np.sin(2 * np.pi * (fy * yy + fx * xx) + ph)
-    img += rng.normal(0, 4, (h, w))
-    img = 128 + img
+        img += rng.uniform(10, 30) * np.sin(2 * np.pi * (fy * yy + fx * xx) + ph)
+    gy, gx = rng.uniform(-1, 1, 2)
+    img += 20.0 * (gy * yy / max(h - 1, 1) + gx * xx / max(w - 1, 1))
+    img = 128 + img * 0.6
     return np.clip(img, 0, 255).astype(np.uint8)
 
 

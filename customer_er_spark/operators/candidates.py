@@ -52,14 +52,21 @@ def band_keys(signatures: DataFrame, cfg: ERConfig) -> DataFrame:
     ]
     chunk_bits = 64 // cfg.phash_chunks
     mask = (1 << chunk_bits) - 1
-    ph_keys = [
-        F.xxhash64(
-            F.lit(10_000 + c),
-            F.shiftrightunsigned(F.col("phash"), c * chunk_bits).bitwiseAND(
-                F.lit(mask)
-            ),
+
+    def chunk(c: int):
+        return F.shiftrightunsigned(F.col("phash"), c * chunk_bits).bitwiseAND(
+            F.lit(mask)
         )
-        for c in range(cfg.phash_chunks)
+
+    # multi-index pair-of-chunks keys: guarantees recall for
+    # Hamming <= phash_chunks - phash_clean_chunks (see config.py)
+    from itertools import combinations
+
+    ph_keys = [
+        F.xxhash64(F.lit(10_000), F.lit(ci), F.lit(cj), chunk(ci), chunk(cj))
+        for ci, cj in combinations(range(cfg.phash_chunks), cfg.phash_clean_chunks)
+    ] if cfg.phash_clean_chunks == 2 else [
+        F.xxhash64(F.lit(10_000 + c), chunk(c)) for c in range(cfg.phash_chunks)
     ]
     return signatures.select(
         "image_id", F.explode(F.array(*mh_keys, *ph_keys)).alias("band_key")

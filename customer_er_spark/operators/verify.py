@@ -76,6 +76,10 @@ def verify_pairs(
         )
         / F.lit(float(cfg.num_hashes)),
     )
+    # materialize once: base feeds both the LCS refinement subquery and the
+    # final scoring scan — without this the attach joins + Jaccard aggregate
+    # run twice (on a cluster this would be a checkpoint-table write)
+    base = base.drop("mh_l", "mh_r").localCheckpoint(eager=True)
 
     border_lcs = (
         base.where(
