@@ -58,10 +58,15 @@ class ERConfig:
     review_threshold: float = 0.65  # link: review in [review, match)
 
     # --- skew / shuffle policy ----------------------------------------------
-    max_band_size: int = 256     # bands larger than this are salted into
-                                 # sub-bands of <= max_band_size members
-                                 # (never dropped: split keeps recall, see
-                                 # candidates.py); documented per north_rule
+    max_band_size: int = 256     # hot bands (> this many members) are salted
+                                 # into ceil(m/max_band_size) sub-buckets:
+                                 # ALL pairs within each sub-bucket plus a
+                                 # chain of sub-bucket representatives for
+                                 # connectivity; pair volume per hot band is
+                                 # O(m*max_band_size), never O(m^2).  No band
+                                 # is dropped and every degraded band is
+                                 # recorded in band_stats (see
+                                 # operators/candidates.py skew policy).
     shuffle_partitions: int = 32
     cc_checkpoint_every: int = 3  # connected-components lineage truncation
 

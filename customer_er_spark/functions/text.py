@@ -71,12 +71,16 @@ def _lcp_kasai(s: np.ndarray, sa: np.ndarray) -> np.ndarray:
 
 
 def longest_common_substring(a: str, b: str) -> int:
-    """Length of the longest common substring via suffix array + Kasai LCP
-    over a#b with a unique separator."""
+    """Length (in CODEPOINTS) of the longest common substring via suffix
+    array + Kasai LCP over a#b with a unique separator.
+
+    Codepoints, not utf-8 bytes: lcs_ratio divides by a character-level
+    max(len), so the numerator must be in the same units or multibyte
+    overlap is overweighted (ratio could exceed 1.0 for non-ASCII)."""
     if not a or not b:
         return 0
-    ab = np.frombuffer(a.encode("utf-8"), dtype=np.uint8).astype(np.int64) + 2
-    bb = np.frombuffer(b.encode("utf-8"), dtype=np.uint8).astype(np.int64) + 2
+    ab = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32).astype(np.int64) + 2
+    bb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32).astype(np.int64) + 2
     s = np.concatenate([ab, np.array([1], dtype=np.int64), bb])
     na = len(ab)
     sa = _suffix_array(s)

@@ -10,29 +10,47 @@ never collide across sources):
     values; band key = xxhash64(band_idx, slice...).  Pairs with caption
     Jaccard s collide with prob 1-(1-s^r)^b.
   * pHash chunks: the 64-bit perceptual hash split into `phash_chunks`
-    equal chunks; by pigeonhole, any pair with Hamming(phash) <= chunks-1
-    shares at least one chunk — guaranteed recall for visually
-    near-identical pairs regardless of caption damage.
+    equal chunks; multi-index pair-of-chunks keys — by pigeonhole, any pair
+    with Hamming(phash) <= chunks - clean_chunks shares at least one key —
+    guaranteed recall for visually near-identical pairs regardless of
+    caption damage.
 
-Skew policy (explicit, per north_rule — AQE skew-join splits input
-partitions but cannot bound the O(m^2) *output* of a hot band):
+Skew policy — SUB-BAND SALTING (explicit, per north_rule; AQE skew-join
+splits input partitions but cannot bound the O(m^2) *output* of a hot band):
   * buckets with <= max_band_size members: full within-bucket self-join
     (all pairs, id_l < id_r).
-  * hot buckets (> max_band_size): degrade to a STAR — every member pairs
-    with the bucket's min-id representative (O(m) pairs).  Never dropped:
-    connectivity through the representative keeps the component intact for
-    clustering; the metrics table records every degraded band so the recall
-    budget is auditable (no silent caps).
+  * hot buckets (> max_band_size members): split into
+    k = ceil(m / max_band_size) sub-buckets by a deterministic per-(record,
+    band) salt = xxhash64(image_id, band_key) % k.  ALL pairs are generated
+    within each sub-bucket, and the sub-buckets' min-id representatives are
+    chained (rep_i — rep_{i+1}) so a hot band whose members genuinely
+    inter-verify (e.g. an exact-duplicate flood) stays one connected
+    component.  Pair volume per hot band is O(m * max_band_size), never
+    O(m^2).
 
-Scale notes: the bucket self-join is an equi-join on band_key after an
-explicit repartition(shuffle_partitions, band_key); hot-band detection is a
-groupBy on the same key (one shuffle, reused); the hot-band list is tiny and
-broadcast for the anti/semi joins.
+  Recall accounting (honest, no silent loss): a true near-dup pair inside a
+  hot band co-locates in one of its sub-buckets with probability ~1/k *per
+  band*; the salt folds in band_key, so co-location events are independent
+  across the (typically many) bands a true pair shares — pairs with caption
+  Jaccard s share ~b*s^r MinHash bands and near-identical images share up
+  to C(chunks, clean) pHash keys, so the miss probability decays
+  geometrically in the number of shared bands.  Unlike the previous "star"
+  policy (every member paired only with the band's min-id rep), no pair's
+  survival depends on an arbitrary representative verifying against it.
+  Every degraded band is recorded in band_stats (n_members, n_salts) so the
+  recall budget is auditable.
+
+Scale notes: bucket sizes come from a window count over band_key
+immediately after repartition(shuffle_partitions, band_key) — same key, no
+extra shuffle and no broadcast of an unbounded band list; the sub-bucket
+self-join shuffles once on (band_key, salt), whose cardinality is bounded
+by max_band_size by construction, so no AQE skew splitting is even needed
+downstream.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from customer_er_spark.config import ERConfig
@@ -73,49 +91,88 @@ def band_keys(signatures: DataFrame, cfg: ERConfig) -> DataFrame:
     )
 
 
+def salted_buckets(bands: DataFrame, cfg: ERConfig) -> tuple[DataFrame, DataFrame]:
+    """(image_id, band_key)[, extra cols] -> (salted, band_stats).
+
+    salted: input rows of non-singleton buckets, annotated with
+        n_members (bucket size), n_salts (1 for normal buckets,
+        ceil(m/max_band_size) for hot ones) and salt in [0, n_salts).
+    band_stats(band_key, n_members, n_salts, degraded): one row per
+        non-singleton band — the skew audit trail (no silent caps).
+
+    Bucket sizes come from a window over band_key; callers repartition by
+    band_key first so the window reuses that exchange.
+    """
+    w = Window.partitionBy("band_key")
+    ann = bands.withColumn("n_members", F.count("*").over(w)).where(
+        F.col("n_members") > 1  # singleton buckets generate no pairs
+    )
+    salted = (
+        ann.withColumn(
+            "n_salts",
+            F.ceil(F.col("n_members") / F.lit(cfg.max_band_size)).cast("int"),
+        )
+        .withColumn(
+            "salt",
+            F.when(F.col("n_salts") <= 1, F.lit(0)).otherwise(
+                F.pmod(
+                    F.xxhash64("image_id", "band_key"), F.col("n_salts")
+                ).cast("int")
+            ),
+        )
+    )
+    band_stats = (
+        salted.groupBy("band_key")
+        .agg(
+            F.first("n_members").alias("n_members"),
+            F.first("n_salts").alias("n_salts"),
+        )
+        .withColumn("degraded", F.col("n_salts") > 1)
+    )
+    return salted, band_stats
+
+
 def candidate_pairs(
     signatures: DataFrame, cfg: ERConfig
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (pairs(id_l, id_r), band_stats) — distinct unordered pairs.
 
-    band_stats(band_key, n_members, degraded) feeds the metrics table.
+    band_stats(band_key, n_members, n_salts, degraded) feeds the metrics
+    table.
     """
     bands = band_keys(signatures, cfg).repartition(
         cfg.shuffle_partitions, "band_key"
     )
+    salted, band_stats = salted_buckets(bands, cfg)
 
-    stats = bands.groupBy("band_key").agg(
-        F.count("*").alias("n_members"), F.min("image_id").alias("rep_id")
-    )
-    band_stats = stats.withColumn(
-        "degraded", F.col("n_members") > F.lit(cfg.max_band_size)
-    )
-    # singleton buckets generate no pairs — drop them before the join;
-    # hot buckets are a tiny list, broadcast both ways.
-    hot = band_stats.filter("degraded").select("band_key", "rep_id")
-    useful = band_stats.filter(
-        (F.col("n_members") > 1) & (~F.col("degraded"))
-    ).select("band_key")
-
-    normal = bands.join(F.broadcast(useful), "band_key")
-    left = normal.select("band_key", F.col("image_id").alias("id_l"))
-    right = normal.select("band_key", F.col("image_id").alias("id_r"))
-    pairs_normal = left.join(right, "band_key").where(
-        F.col("id_l") < F.col("id_r")
+    left = salted.select("band_key", "salt", F.col("image_id").alias("id_l"))
+    right = salted.select("band_key", "salt", F.col("image_id").alias("id_r"))
+    pairs_within = (
+        left.join(right, ["band_key", "salt"])
+        .where(F.col("id_l") < F.col("id_r"))
+        .select("id_l", "id_r")
     )
 
-    pairs_star = (
-        bands.join(F.broadcast(hot), "band_key")
-        .where(F.col("image_id") != F.col("rep_id"))
+    # chain sub-bucket representatives of each hot band so a genuinely
+    # all-matching hot band (exact-duplicate flood) stays connected even
+    # when two members never co-locate in a sub-bucket
+    reps = (
+        salted.where(F.col("n_salts") > 1)
+        .groupBy("band_key", "salt")
+        .agg(F.min("image_id").alias("rep"))
+    )
+    wchain = Window.partitionBy("band_key").orderBy("salt")
+    chain = (
+        reps.withColumn("nxt", F.lead("rep").over(wchain))
+        .where(F.col("nxt").isNotNull() & (F.col("rep") != F.col("nxt")))
         .select(
-            F.least("image_id", "rep_id").alias("id_l"),
-            F.greatest("image_id", "rep_id").alias("id_r"),
+            F.least("rep", "nxt").alias("id_l"),
+            F.greatest("rep", "nxt").alias("id_r"),
         )
     )
 
     pairs = (
-        pairs_normal.select("id_l", "id_r")
-        .unionByName(pairs_star)
+        pairs_within.unionByName(chain)
         .distinct()  # one shuffle on the pair key; AQE coalesces the output
     )
     return pairs, band_stats

@@ -63,7 +63,9 @@ def minhash_lsh_pairs(
     # persist: the signature is referenced three times (banding + both join
     # sides); without it the pandas UDF recomputes per reference.  In the
     # checkpointed pipeline (plans/pipeline.py) the catalog write plays this
-    # role durably.
+    # role durably.  Unpersisted below after the eager materialization of
+    # the (small) pair output, so a long-lived session does not accumulate
+    # cached blocks across queries.
     sig = minhash_signatures(docs, cfg, id_col, text_col).persist()
     keys = [
         F.xxhash64(
@@ -88,7 +90,7 @@ def minhash_lsh_pairs(
     )
     sl = sig.select(F.col("doc_id").alias("id_l"), F.col("minhash").alias("mh_l"))
     sr = sig.select(F.col("doc_id").alias("id_r"), F.col("minhash").alias("mh_r"))
-    return (
+    out = (
         pairs.join(sl, "id_l")
         .join(sr, "id_r")
         .withColumn(
@@ -103,6 +105,11 @@ def minhash_lsh_pairs(
         .where(F.col("jacc") >= jaccard_min)
         .select("id_l", "id_r", F.round("jacc", 6).alias("jacc"))
     )
+    # materialize the verified pairs (small output), then free the cached
+    # signatures — downstream consumers read the checkpointed result.
+    out = out.localCheckpoint(eager=True)
+    sig.unpersist()
+    return out
 
 
 def simhash_pairs(

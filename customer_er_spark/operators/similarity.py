@@ -117,7 +117,8 @@ def lsh_topk(
     base = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
     ).withColumn("nrm", F.sqrt(_norm2_unrolled("vec", dim)))
-    # persist: bucket keys feed both sides of the self-join
+    # persist: bucket keys feed both sides of the self-join; unpersisted
+    # below after the (small) top-k output is materialized.
     buckets = base.withColumn(
         "bucket", F.explode(bucket_udf(F.col("vec")))
     ).persist()
@@ -145,8 +146,10 @@ def lsh_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
-    )
+    ).localCheckpoint(eager=True)  # n*k rows — small
+    buckets.unpersist()
+    return out

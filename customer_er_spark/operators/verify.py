@@ -95,8 +95,12 @@ def verify_pairs(
         )
     )
 
+    # no broadcast hint: the ambiguity-band pair set is data-dependent and
+    # unbounded (a near-dup-heavy corpus puts millions of rows here).  AQE
+    # picks a broadcast join at runtime when the side is actually small and
+    # keeps the escape hatch to shuffle when it is not.
     scored = (
-        base.join(F.broadcast(border_lcs), ["id_l", "id_r"], "left")
+        base.join(border_lcs, ["id_l", "id_r"], "left")
         .withColumn(
             "caption_sim",
             F.when(F.col("cap_l") == F.col("cap_r"), F.lit(1.0)).otherwise(

@@ -38,18 +38,38 @@ from customer_er_spark.operators.verify import verify_pairs
 
 def link_pairs(
     priors_sig: DataFrame, incoming_sig: DataFrame, cfg: ERConfig
-) -> DataFrame:
-    """Bipartite LSH candidates: (id_l=prior, id_r=incoming) — cross-source
-    only, no within-source pairs (those belong to match, not link)."""
+) -> tuple[DataFrame, DataFrame]:
+    """Bipartite LSH candidates: (pairs(id_l=prior, id_r=incoming),
+    band_stats) — cross-source only, no within-source pairs (those belong
+    to match, not link).
+
+    Skew policy mirrors candidate_pairs: both sides are unioned, bucket
+    sizes counted once, and hot bands (prior+incoming members >
+    max_band_size) are salted into sub-buckets; cross-side pairs are
+    generated within each sub-bucket, so one hot band shared by m priors
+    and n incoming yields O((m+n)*max_band_size) pairs, never O(m*n).
+    band_stats records every degraded band (same audit contract as the
+    initial pipeline)."""
+    from customer_er_spark.operators.candidates import salted_buckets
+
     pb = band_keys(priors_sig, cfg).select(
-        "band_key", F.col("image_id").alias("id_l")
+        "band_key", "image_id", F.lit("p").alias("side")
     )
     ib = band_keys(incoming_sig, cfg).select(
-        "band_key", F.col("image_id").alias("id_r")
+        "band_key", "image_id", F.lit("i").alias("side")
     )
-    pb = pb.repartition(cfg.shuffle_partitions, "band_key")
-    ib = ib.repartition(cfg.shuffle_partitions, "band_key")
-    return pb.join(ib, "band_key").select("id_l", "id_r").distinct()
+    both = pb.unionByName(ib).repartition(cfg.shuffle_partitions, "band_key")
+    salted, band_stats = salted_buckets(both, cfg)
+    left = salted.where("side = 'p'").select(
+        "band_key", "salt", F.col("image_id").alias("id_l")
+    )
+    right = salted.where("side = 'i'").select(
+        "band_key", "salt", F.col("image_id").alias("id_r")
+    )
+    pairs = (
+        left.join(right, ["band_key", "salt"]).select("id_l", "id_r").distinct()
+    )
+    return pairs, band_stats
 
 
 def run_link(
@@ -68,7 +88,15 @@ def run_link(
     catalog.write_table(inc_sig, "incoming_signatures", config_hash=ch)
     inc_sig = catalog.read_table("incoming_signatures")
 
-    pairs = link_pairs(priors_sig, inc_sig, cfg)
+    # checkpoint candidates through the catalog: the bipartite band join
+    # executes exactly once (the write action); verify reads the committed
+    # parquet and the summary count comes free from the manifest.
+    raw_pairs, link_band_stats = link_pairs(priors_sig, inc_sig, cfg)
+    catalog.write_table(link_band_stats, "link_band_stats", config_hash=ch)
+    cand_manifest = catalog.write_table(
+        raw_pairs, "link_candidates", config_hash=ch
+    )
+    pairs = catalog.read_table("link_candidates")
     both_sig = priors_sig.unionByName(inc_sig)
     scored = verify_pairs(pairs, both_sig, cfg).where("is_match")
 
@@ -98,7 +126,7 @@ def run_link(
         F.lit("incoming").alias("z_source"),
     )
     linked = prior_rows.unionByName(incoming_rows)
-    catalog.write_table(linked, "linked", config_hash=ch)
+    linked_manifest = catalog.write_table(linked, "linked", config_hash=ch)
 
     # decision rules (03:283-288 made executable): per incoming record rank
     # candidate clusters by best score; accept a clear single winner at/above
@@ -137,12 +165,16 @@ def run_link(
         )
     )
     catalog.write_table(decisions, "link_decisions", config_hash=ch)
+    # summary counts come from the just-committed manifests — re-running
+    # pairs.count()/linked.count() here would re-execute the band join and
+    # the verify cascade a second time.
     return {
-        "candidates": pairs.count(),
-        "linked_records": linked.count(),
+        "candidates": cand_manifest["counts"]["rows_out"],
+        "linked_records": linked_manifest["counts"]["rows_out"],
         "decisions": {
             r["decision"]: r["count"]
-            for r in decisions.groupBy("decision").count().collect()
+            for r in catalog.read_table("link_decisions")  # committed parquet,
+            .groupBy("decision").count().collect()          # not the live plan
         },
     }
 
