@@ -270,9 +270,20 @@ def q_dedup_clusters(spark, sf):
 
 
 def q_doc_fingerprints(spark, sf):
-    from customer_er_spark.operators.textops import fingerprints
+    # true winnowing (k=8, w=4) over md5 gram hashes — SQL-replayable
+    from customer_er_spark.operators.textops import winnow_fingerprints
 
-    return fingerprints(_t(spark, sf, "documents"))
+    return winnow_fingerprints(_t(spark, sf, "documents"), k=8, w=4)
+
+
+def q_calibration_report(spark, sf):
+    # B1 parity: stratified similarity report over exact n-gram Jaccard
+    # pairs (integer-ratio deciles — engine-exact bucketing)
+    from customer_er_spark.operators.calibrate import calibration_report_ratio
+    from customer_er_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_t(spark, sf, "documents"), n=3, jaccard_min=0.1)
+    return calibration_report_ratio(pairs)
 
 
 def q_lang_id(spark, sf):
@@ -321,6 +332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "doc_fingerprints": q_doc_fingerprints,
+        "calibration_report": q_calibration_report,
         "lang_id": q_lang_id,
         "embedding_topk": q_embedding_topk,
         "embedding_topk_lsh": q_embedding_topk_lsh,
@@ -332,6 +344,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
+def _ngram_pairs_cte(jaccard_min: float) -> str:
+    """Shared DuckDB CTE block: exact 3-gram Jaccard pairs over documents,
+    ending in scored(id_l, id_r, n_inter, n_union)."""
+    return f"""
+            d AS (SELECT doc_id, {_NORM} AS t FROM documents),
+            pos AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - 2)) AS g
+                    FROM d WHERE length(t) >= 3),
+            grams AS (SELECT DISTINCT doc_id, substring(t, CAST(g AS INT), 3) AS gram FROM pos),
+            sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS n_inter
+                      FROM grams a JOIN grams b
+                        ON a.gram = b.gram AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            scored AS (
+              SELECT id_l, id_r, n_inter,
+                     (sl.n_grams + sr.n_grams - n_inter) AS n_union
+              FROM inter
+              JOIN sizes sl ON id_l = sl.doc_id
+              JOIN sizes sr ON id_r = sr.doc_id
+              WHERE CAST(n_inter AS DOUBLE) / (sl.n_grams + sr.n_grams - n_inter)
+                    >= {jaccard_min})
+    """
+
+
+def _lang_id_sql() -> str:
+    """DuckDB replay of operators/textops.language_id — generated from the
+    same _LANG_MARKERS table so the two can never drift."""
+    from customer_er_spark.operators.textops import _LANG_MARKERS
+
+    def score(markers: tuple[str, ...]) -> str:
+        expr = "0.0"
+        for m in markers:
+            esc = m.replace("'", "''")
+            expr += (
+                f" + (length(s) - length(replace(s, '{esc}', '')))"
+                f" / {float(len(m))}"
+            )
+        return expr
+
+    score_cols = ",\n                   ".join(
+        f"({score(marks)}) AS s_{lang}" for lang, marks in _LANG_MARKERS.items()
+    )
+    greatest = "greatest(" + ", ".join(f"s_{l}" for l in _LANG_MARKERS) + ")"
+    case = "CASE WHEN m <= 0 THEN 'unknown' " + " ".join(
+        f"WHEN s_{l} = m THEN '{l}'" for l in sorted(_LANG_MARKERS)
+    ) + " END"
+    return f"""
+            WITH t AS (SELECT doc_id, ' ' || lower(coalesce(text, '')) || ' ' AS s
+                       FROM documents),
+            sc AS (SELECT doc_id,
+                   {score_cols}
+                   FROM t)
+            SELECT doc_id, {case} AS lang_pred
+            FROM (SELECT *, {greatest} AS m FROM sc)
+    """
 
 
 def _cosine_sql() -> str:
@@ -472,26 +541,50 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_distribution": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
         "ngram_jaccard": f"""
-            WITH d AS (SELECT doc_id, {_NORM} AS t FROM documents),
-            pos AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - 2)) AS g
-                    FROM d WHERE length(t) >= 3),
-            grams AS (SELECT DISTINCT doc_id, substring(t, CAST(g AS INT), 3) AS gram FROM pos),
-            sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
-            inter AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS n_inter
-                      FROM grams a JOIN grams b
-                        ON a.gram = b.gram AND a.doc_id < b.doc_id
-                      GROUP BY 1, 2)
-            SELECT id_l, id_r, n_inter,
-                   (sl.n_grams + sr.n_grams - n_inter) AS n_union
-            FROM inter
-            JOIN sizes sl ON id_l = sl.doc_id
-            JOIN sizes sr ON id_r = sr.doc_id
-            WHERE CAST(n_inter AS DOUBLE) / (sl.n_grams + sr.n_grams - n_inter) >= 0.6
+            WITH {_ngram_pairs_cte(0.6)}
+            SELECT id_l, id_r, n_inter, n_union FROM scored
         """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_ngram_pairs_cte(0.8)},
+            prs AS (SELECT CAST(id_l AS VARCHAR) AS a, CAST(id_r AS VARCHAR) AS b
+                    FROM scored),
+            edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+            reach(n, r) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.n
+            )
+            SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n
+        """,
+        "calibration_report": f"""
+            WITH {_ngram_pairs_cte(0.1)}
+            SELECT least(CAST((10 * n_inter) // n_union AS INT), 9) AS stratum,
+                   count(*) AS n_pairs,
+                   min(CAST(id_l AS VARCHAR) || '|' || CAST(id_r AS VARCHAR))
+                     AS example_pair
+            FROM scored
+            GROUP BY 1
+        """,
+        "doc_fingerprints": f"""
+            WITH d AS (SELECT doc_id, {_NORM} AS t FROM documents),
+            pos AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - 7)) AS p
+                    FROM d WHERE length(t) >= 11),
+            g AS (SELECT doc_id, CAST(p AS INT) AS p, length(t) - 7 AS n_grams,
+                         md5(substring(t, CAST(p AS INT), 8)) AS gh
+                  FROM pos),
+            wm AS (SELECT doc_id, p, n_grams,
+                          min(gh) OVER (PARTITION BY doc_id ORDER BY p
+                                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                            AS fp
+                   FROM g)
+            SELECT DISTINCT doc_id, fp FROM wm WHERE p <= n_grams - 3
+        """,
+        "lang_id": _lang_id_sql(),
         "embedding_topk": _cosine_sql(),
-        # minhash_lsh_pairs / simhash_pairs / dedup_clusters / doc_fingerprints
-        # / lang_id / embedding_topk_lsh: hash-randomized or iterative —
-        # rows-only check by design.
+        # minhash_lsh_pairs / simhash_pairs / embedding_topk_lsh:
+        # hash-randomized custom kernels (MinHash/SimHash/hyperplane LSH) —
+        # rows-only check by design; their exact twins (ngram_jaccard,
+        # dedup_clusters, embedding_topk) are fully oracle-checked.
     }
 
 

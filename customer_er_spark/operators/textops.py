@@ -68,6 +68,8 @@ _LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 @F.pandas_udf(T.StringType())
 def lang_id_udf(texts: pd.Series) -> pd.Series:
+    """Reference implementation of the marker heuristic (kept as the test
+    twin of the Catalyst expression in language_id)."""
     out = []
     for t in texts:
         t = f" {(t or '').lower()} "
@@ -80,14 +82,40 @@ def lang_id_udf(texts: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _marker_score(t, markers: tuple[str, ...]):
+    """Non-overlapping occurrence count of each marker, summed — expressed
+    as (length(t) - length(replace(t, m))) / len(m), the same greedy
+    left-to-right count Python's str.count produces.  Pure Catalyst, and
+    replayable verbatim in any SQL engine."""
+    score = F.lit(0.0)
+    for m in markers:
+        score = score + (F.length(t) - F.length(F.replace(t, F.lit(m)))) / F.lit(
+            float(len(m))
+        )
+    return score
+
+
 def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    return docs.select(F.col(id_col), lang_id_udf(F.col(text_col)).alias("lang_pred"))
+    """(doc_id, lang_pred) — marker-count argmax, ties broken by
+    lexicographically smallest language, 'unknown' when no marker hits.
+    Pure Catalyst expressions (no UDF), matching lang_id_udf exactly."""
+    t = F.concat(F.lit(" "), F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(" "))
+    scores = {
+        lang: _marker_score(t, marks) for lang, marks in _LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.when(best <= 0, F.lit("unknown"))
+    for lang in sorted(scores):  # first max in sorted order wins ties
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return docs.select(F.col(id_col), pred.alias("lang_pred"))
 
 
 @F.pandas_udf(T.LongType())
 def fingerprint_udf(texts: pd.Series) -> pd.Series:
-    """Winnowing-style document fingerprint: min shingle hash (rolling
-    polynomial, k=8) — stable under whitespace-preserving edits elsewhere."""
+    """GLOBAL-min shingle hash (rolling polynomial, k=8).  NOT winnowing —
+    a single edit anywhere can flip it; kept as the cheap whole-document
+    `min_shingle_hash` summary.  Robust per-window fingerprints are
+    winnow_fingerprints below."""
     out = np.empty(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
         hs = shingle_hashes((t or "").lower(), 8)
@@ -95,5 +123,61 @@ def fingerprint_udf(texts: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    return docs.select(F.col(id_col), fingerprint_udf(F.col(text_col)).alias("fingerprint"))
+def min_shingle_hash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return docs.select(F.col(id_col), fingerprint_udf(F.col(text_col)).alias("min_shingle_hash"))
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """True winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    hash every k-gram of the normalized text (md5 — deterministic and
+    SQL-replayable), slide a w-gram window over the hash sequence, keep
+    each window's minimum; the doc's fingerprint set is the distinct
+    window minima.  Guarantee: any shared substring of length >= k + w - 1
+    yields a shared fingerprint, and a single edit perturbs at most the
+    k + w - 1 windows that overlap it.
+
+    Output (doc_id, fp) — one row per distinct fingerprint.  Docs shorter
+    than k + w - 1 chars (no complete window) produce no rows.  Pure
+    Catalyst: positions explode -> substring -> md5 -> min over a
+    ROWS-based window frame; the DuckDB oracle replays it verbatim.
+    """
+    from customer_er_spark.functions.text import normalize_caption
+    from pyspark.sql import Window
+
+    n_grams = F.length("t") - (k - 1)
+    grams = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            normalize_caption(F.col(text_col)).alias("t"),
+        )
+        .where(F.length("t") >= k + w - 1)
+        .select(
+            "doc_id",
+            n_grams.alias("n_grams"),
+            F.explode(F.sequence(F.lit(1), n_grams)).alias("p"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "p",
+            F.md5(F.substring(F.col("t"), F.col("p"), k)).alias("gh"),
+        )
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        grams.withColumn("fp", F.min("gh").over(win))
+        .where(F.col("p") <= F.col("n_grams") - (w - 1))  # complete windows only
+        .select("doc_id", "fp")
+        .distinct()
+    )

@@ -94,6 +94,17 @@ def run_initial(
 
     matches = verified.where("is_match")
     ver_snap = {"verified_pairs": catalog.snapshot_id("verified_pairs") or ""}
+
+    # B1 parity (threshold calibration, the deterministic stand-in for the
+    # reference's findTrainingData labeling loop, 02A:236-285)
+    from customer_er_spark.operators.calibrate import calibration_report_scores
+
+    stage(
+        "calibration_report", ver_snap,
+        lambda: calibration_report_scores(verified),
+        summary_rows(summary, "verified_pairs"),
+    )
+
     assignments = stage(
         "assignments", ver_snap,
         lambda: connected_components(

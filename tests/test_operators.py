@@ -82,14 +82,70 @@ def test_language_id(spark):
 
 
 def test_fingerprint_stability(spark):
-    from customer_er_spark.operators.textops import fingerprints
+    from customer_er_spark.operators.textops import min_shingle_hash
 
     data = spark.createDataFrame(
         [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps")],
         ["doc_id", "text"],
     )
-    got = [r["fingerprint"] for r in fingerprints(data).collect()]
+    got = [r["min_shingle_hash"] for r in min_shingle_hash(data).collect()]
     assert got[0] == got[1] != 0
+
+
+def test_language_id_matches_udf_twin(spark):
+    """The Catalyst marker expression must agree with the pandas-UDF
+    reference implementation on mixed/empty/null inputs."""
+    from customer_er_spark.operators.textops import lang_id_udf, language_id
+    from pyspark.sql import functions as F
+
+    data = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house is running"),
+            (2, "el perro de la casa que corre con la gata"),
+            (3, "le chien est dans la maison avec les chats"),
+            (4, "der hund und die katze ist schnell"),
+            (5, "xyzzy qwerty"),
+            (6, ""),
+            (7, None),
+            (8, "de la " * 3),  # es/fr tie on shared markers
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(data).collect()}
+    ref = {
+        r["doc_id"]: r["ref"]
+        for r in data.select("doc_id", lang_id_udf(F.col("text")).alias("ref")).collect()
+    }
+    assert got == ref, (got, ref)
+
+
+def test_winnow_fingerprints_edit_locality(spark):
+    """Winnowing property: a single character edit perturbs only the
+    k+w-1 windows overlapping it — most fingerprints survive."""
+    from customer_er_spark.operators.textops import winnow_fingerprints
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "falls gently on the quiet old town square near the river bend"
+    )
+    edited = base.replace("rain", "raXn")
+    data = spark.createDataFrame(
+        [(1, base), (2, edited)], ["doc_id", "text"]
+    )
+    fps = winnow_fingerprints(data, k=8, w=4)
+    got = {1: set(), 2: set()}
+    for r in fps.collect():
+        got[r["doc_id"]].add(r["fp"])
+    inter = got[1] & got[2]
+    union = got[1] | got[2]
+    assert len(got[1]) > 10
+    assert len(inter) / len(union) >= 0.8, (len(inter), len(union))
+    # identical docs -> identical fingerprint sets
+    same = spark.createDataFrame([(1, base), (2, base)], ["doc_id", "text"])
+    g = {1: set(), 2: set()}
+    for r in winnow_fingerprints(same, k=8, w=4).collect():
+        g[r["doc_id"]].add(r["fp"])
+    assert g[1] == g[2]
 
 
 def test_multimodal_decode_meta(spark, small_corpus):
