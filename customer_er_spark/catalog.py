@@ -8,18 +8,30 @@ paths.  `SparkCatalog` provides:
     write_table(df, name, ...)   atomic snapshot commit (write to a fresh
                                  snapshot dir, then atomically rename a JSON
                                  manifest pointing at it)
-    read_table(name)             read the current snapshot
+    append_table(df, name, ...)  append-snapshot commit: the new manifest
+                                 lists the OLD data dirs plus one new dir —
+                                 prior files are never rewritten, so an
+                                 increment costs O(|incoming|) I/O, not
+                                 O(|registry|) (Iceberg append semantics)
+    read_table(name)             read the current snapshot (all data dirs)
     has_snapshot(name, config_hash, inputs)
                                  resume check: a stage is skippable iff a
                                  committed snapshot exists whose config hash
                                  AND upstream snapshot ids match
     table_meta(name)             manifest dict (snapshot id, lineage, counts)
+    get_state/set_state(key)     tiny atomic key->value store (e.g. the
+                                 streaming last-applied batch id fence)
+
+Schema contract: write_table validates the new schema against the previous
+snapshot — changed column names/types raise unless overwrite_schema=True
+(the analog of Delta's overwriteSchema, /root/reference/01_Prepare_Data.py:
+173-180); append_table always requires an identical (name, type) set.
 
 On a real cluster the same interface maps 1:1 onto Iceberg:
-write_table -> df.writeTo(tbl).createOrReplace(), snapshot_id -> Iceberg
-snapshot id, has_snapshot -> snapshot summary properties.  The reference's
-analog is Delta saveAsTable + DESCRIBE DETAIL
-(/root/reference/01_Prepare_Data.py:173-180,
+write_table -> df.writeTo(tbl).createOrReplace(), append_table ->
+df.writeTo(tbl).append(), snapshot_id -> Iceberg snapshot id, has_snapshot
+-> snapshot summary properties.  The reference's analog is Delta
+saveAsTable + DESCRIBE DETAIL (/root/reference/01_Prepare_Data.py:173-180,
  /root/reference/02_Initial_Workflow_Part_A.py:88).
 """
 
@@ -74,22 +86,49 @@ class SparkCatalog:
             return False
         return True
 
+    # -- schema contract -------------------------------------------------------
+    @staticmethod
+    def _schema_sig(schema_json: dict) -> set[tuple[str, str]]:
+        """(name, type) pairs — nullability and metadata are not evolution."""
+        return {
+            (f["name"], json.dumps(f["type"], sort_keys=True))
+            for f in schema_json.get("fields", [])
+        }
+
+    def _check_schema(
+        self, name: str, new_schema: dict, overwrite_schema: bool, mode: str
+    ) -> None:
+        old = self.table_meta(name)
+        if old is None or "schema" not in old:
+            return
+        if self._schema_sig(old["schema"]) == self._schema_sig(new_schema):
+            return
+        if mode == "append" or not overwrite_schema:
+            old_cols = sorted(c for c, _ in self._schema_sig(old["schema"]))
+            new_cols = sorted(c for c, _ in self._schema_sig(new_schema))
+            raise ValueError(
+                f"schema change on {mode} to table {name!r} "
+                f"(old={old_cols}, new={new_cols}); pass "
+                f"overwrite_schema=True to write_table to evolve it"
+            )
+
+    @staticmethod
+    def _paths(meta: dict) -> list[str]:
+        return meta.get("paths") or [meta["path"]]
+
     # -- IO -------------------------------------------------------------------
-    def write_table(
+    def _commit(
         self,
         df: DataFrame,
         name: str,
-        config_hash: str = "",
-        inputs: dict[str, str] | None = None,
-        partition_by: list[str] | None = None,
-        extra_meta: dict | None = None,
+        mode: str,
+        config_hash: str,
+        inputs: dict[str, str] | None,
+        partition_by: list[str] | None,
+        extra_meta: dict | None,
+        overwrite_schema: bool,
     ) -> dict:
-        """Write df as a fresh snapshot and commit it atomically.
-
-        The data lands in  <table>/snap-<id>/  first; the manifest rename is
-        the commit point, so a killed run never exposes a half-written
-        snapshot (the kill-and-rerun resumability test relies on this).
-        """
+        self._check_schema(name, df.schema.jsonValue(), overwrite_schema, mode)
         snap_id = f"snap-{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
         tdir = self._table_dir(name)
         os.makedirs(tdir, exist_ok=True)
@@ -101,35 +140,109 @@ class SparkCatalog:
         n_files = sum(
             1 for f in os.listdir(data_dir) if f.endswith(".parquet")
         )
-        # row count from the written files (metadata-cheap column-pruned
-        # scan) — never df.count(), which would recompute the whole plan
-        rows_out = self.spark.read.parquet(data_dir).count()
+        # row count of the new files from a parquet-footer scan — never
+        # df.count(), which would recompute the whole plan
+        rows_new = self.spark.read.parquet(data_dir).count()
+        old = self.table_meta(name)
+        if mode == "append" and old is not None:
+            paths = self._paths(old) + [data_dir]
+            rows_out = old["counts"]["rows_out"] + rows_new
+        else:
+            paths = [data_dir]
+            rows_out = rows_new
         manifest = {
             "table": name,
             "snapshot_id": snap_id,
-            "path": data_dir,
+            "path": data_dir,     # newest data dir (back-compat)
+            "paths": paths,       # full snapshot = union of these dirs
             "schema": df.schema.jsonValue(),
             "config_hash": config_hash,
             "inputs": inputs or {},
             "n_files": n_files,
-            "counts": {"rows_out": rows_out},
+            "counts": {"rows_out": rows_out, "rows_appended": rows_new},
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             **(extra_meta or {}),
         }
-        old = self.table_meta(name)
         tmp = self._manifest_path(name) + f".tmp-{uuid.uuid4().hex[:6]}"
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
         os.replace(tmp, self._manifest_path(name))  # atomic commit
-        if old is not None and os.path.isdir(old.get("path", "")):
-            shutil.rmtree(old["path"], ignore_errors=True)  # expire old snapshot
+        if mode == "overwrite" and old is not None:
+            for p in self._paths(old):  # expire replaced snapshot dirs
+                if p not in paths and os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
         return manifest
+
+    def write_table(
+        self,
+        df: DataFrame,
+        name: str,
+        config_hash: str = "",
+        inputs: dict[str, str] | None = None,
+        partition_by: list[str] | None = None,
+        extra_meta: dict | None = None,
+        overwrite_schema: bool = False,
+    ) -> dict:
+        """Write df as a fresh snapshot and commit it atomically.
+
+        The data lands in  <table>/snap-<id>/  first; the manifest rename is
+        the commit point, so a killed run never exposes a half-written
+        snapshot (the kill-and-rerun resumability test relies on this).
+        """
+        return self._commit(
+            df, name, "overwrite", config_hash, inputs, partition_by,
+            extra_meta, overwrite_schema,
+        )
+
+    def append_table(
+        self,
+        df: DataFrame,
+        name: str,
+        config_hash: str = "",
+        inputs: dict[str, str] | None = None,
+        partition_by: list[str] | None = None,
+        extra_meta: dict | None = None,
+    ) -> dict:
+        """Append df as a new snapshot = old data files + one new dir.
+
+        Prior data files are never rewritten or deleted — the incremental
+        merge costs O(|incoming|) I/O regardless of registry size.  The
+        manifest rename is still the single atomic commit point: a killed
+        append leaves the previous snapshot fully intact.
+        """
+        return self._commit(
+            df, name, "append", config_hash, inputs, partition_by,
+            extra_meta, overwrite_schema=False,
+        )
 
     def read_table(self, name: str) -> DataFrame:
         meta = self.table_meta(name)
         if meta is None:
             raise FileNotFoundError(f"table {name!r} has no committed snapshot")
-        return self.spark.read.parquet(meta["path"])
+        return self.spark.read.parquet(*self._paths(meta))
+
+    # -- tiny state store (streaming batch fence etc.) -------------------------
+    def _state_path(self) -> str:
+        return os.path.join(self.base_dir, "_state.json")
+
+    def get_state(self, key: str, default=None):
+        p = self._state_path()
+        if not os.path.exists(p):
+            return default
+        with open(p) as f:
+            return json.load(f).get(key, default)
+
+    def set_state(self, key: str, value) -> None:
+        p = self._state_path()
+        state = {}
+        if os.path.exists(p):
+            with open(p) as f:
+                state = json.load(f)
+        state[key] = value
+        tmp = p + f".tmp-{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, p)
 
     def drop_table(self, name: str) -> None:
         shutil.rmtree(self._table_dir(name), ignore_errors=True)

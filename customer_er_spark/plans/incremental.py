@@ -13,13 +13,28 @@ Ours, made concrete and cheaper:
   * priors are NOT re-blocked each run — the initial run's signature
     checkpoint is reused (the reference recomputes Zingg blocking over the
     full priors table every time);
-  * the bipartite band join only keeps cross-source pairs by construction;
+  * the bipartite band join only keeps cross-source pairs by construction,
+    with the same hot-band sub-bucket salting as the initial pipeline;
   * the threshold rules are code, not prose: accept iff best score >=
     match_threshold AND the runner-up is not itself accept-grade (ambiguous
     multi-link -> review, mirroring 03:283-288's "manual review" rule);
   * registry cluster_ids are stable across runs (the initial component id
     is kept even when a cluster grows) — deliberately unlike the
-    reference's per-run uuid1 minting (02B:295-309).
+    reference's per-run uuid1 minting (02B:295-309);
+  * the merge is APPEND-ONLY (catalog.append_table): signatures,
+    cluster_members and verified_pairs gain new data files and prior files
+    are never rewritten, so an increment costs O(|incoming|) I/O no matter
+    how large the registry is (the insert-only contract of 03:397).  Only
+    the small `clusters` aggregate is recomputed.
+  * exactly-once: every append manifest records the incoming_signatures
+    snapshot it applied; a replayed batch (same run_key) skips recompute
+    and already-applied appends instead of double-inserting.
+
+Stale-score note (documented trade-off of insert-only): z_min/maxScore of
+PRIOR member rows are not rewritten when a later link edge attaches to
+them — a member's scores reflect the verified edges known when its row was
+written.  Accepted link edges ARE persisted into verified_pairs (with the
+real prior endpoint), so recomputing scores from edges stays possible.
 """
 
 from __future__ import annotations
@@ -34,6 +49,10 @@ from customer_er_spark.operators.candidates import band_keys, candidate_pairs
 from customer_er_spark.operators.components import connected_components
 from customer_er_spark.operators.signatures import compute_signatures
 from customer_er_spark.operators.verify import verify_pairs
+
+VERIFY_COLS = [
+    "id_l", "id_r", "hamming", "caption_sim", "image_sim", "score", "is_match",
+]
 
 
 def link_pairs(
@@ -72,20 +91,52 @@ def link_pairs(
     return pairs, band_stats
 
 
+def _link_summary(catalog: SparkCatalog, resumed: bool) -> dict:
+    return {
+        "resumed": resumed,
+        "candidates": catalog.table_meta("link_candidates")["counts"]["rows_out"],
+        "linked_records": catalog.table_meta("linked")["counts"]["rows_out"],
+        "decisions": {
+            r["decision"]: r["count"]
+            for r in catalog.read_table("link_decisions")  # committed parquet,
+            .groupBy("decision").count().collect()          # not the live plan
+        },
+    }
+
+
 def run_link(
     spark: SparkSession,
     incoming: DataFrame,
     catalog: SparkCatalog,
     cfg: ERConfig | None = None,
+    run_key: str | None = None,
 ) -> dict:
     """Link incoming against the registry; writes `incoming_signatures`,
-    `linked` (reference-shaped) and `link_decisions` tables."""
+    `link_candidates`, `link_edges` (real (prior, incoming, score) edges),
+    `linked` (reference-shaped) and `link_decisions` tables.
+
+    `run_key` (e.g. a streaming batch id) makes the run idempotent: if the
+    committed incoming_signatures manifest already carries this run_key at
+    the same config, the whole link is a resume — a crashed-and-replayed
+    micro-batch never recomputes or double-writes."""
     cfg = cfg or ERConfig()
     ch = cfg.config_hash()
+    if run_key is not None:
+        meta = catalog.table_meta("incoming_signatures")
+        if (
+            meta is not None
+            and meta.get("inputs", {}).get("run_key") == run_key
+            and meta.get("config_hash") == ch
+            and catalog.table_meta("link_decisions") is not None
+        ):
+            return _link_summary(catalog, resumed=True)
 
     priors_sig = catalog.read_table("signatures")
     inc_sig = compute_signatures(incoming, cfg)
-    catalog.write_table(inc_sig, "incoming_signatures", config_hash=ch)
+    catalog.write_table(
+        inc_sig, "incoming_signatures", config_hash=ch,
+        inputs={"run_key": run_key or ""},
+    )
     inc_sig = catalog.read_table("incoming_signatures")
 
     # checkpoint candidates through the catalog: the bipartite band join
@@ -93,19 +144,23 @@ def run_link(
     # parquet and the summary count comes free from the manifest.
     raw_pairs, link_band_stats = link_pairs(priors_sig, inc_sig, cfg)
     catalog.write_table(link_band_stats, "link_band_stats", config_hash=ch)
-    cand_manifest = catalog.write_table(
-        raw_pairs, "link_candidates", config_hash=ch
-    )
+    catalog.write_table(raw_pairs, "link_candidates", config_hash=ch)
     pairs = catalog.read_table("link_candidates")
+
     both_sig = priors_sig.unionByName(inc_sig)
     scored = verify_pairs(pairs, both_sig, cfg).where("is_match")
 
     members = catalog.read_table("cluster_members").select(
         "image_id", "cluster_id"
     )
-    linked_raw = scored.join(
+    # persist the REAL link edges (prior endpoint, incoming endpoint, full
+    # verify columns, prior's registry cluster) — the merge appends the
+    # accepted subset into verified_pairs, keeping scores recomputable
+    link_edges = scored.join(
         members.withColumnRenamed("image_id", "id_l"), "id_l"
-    )  # attach the prior's registry cluster
+    ).select(*VERIFY_COLS, "cluster_id")
+    catalog.write_table(link_edges, "link_edges", config_hash=ch)
+    linked_raw = catalog.read_table("link_edges")
 
     # reference-shaped `linked` output: one row per record per link group,
     # z_source tags the side, prior z_score = max over its incoming matches
@@ -126,7 +181,7 @@ def run_link(
         F.lit("incoming").alias("z_source"),
     )
     linked = prior_rows.unionByName(incoming_rows)
-    linked_manifest = catalog.write_table(linked, "linked", config_hash=ch)
+    catalog.write_table(linked, "linked", config_hash=ch)
 
     # decision rules (03:283-288 made executable): per incoming record rank
     # candidate clusters by best score; accept a clear single winner at/above
@@ -165,18 +220,7 @@ def run_link(
         )
     )
     catalog.write_table(decisions, "link_decisions", config_hash=ch)
-    # summary counts come from the just-committed manifests — re-running
-    # pairs.count()/linked.count() here would re-execute the band join and
-    # the verify cascade a second time.
-    return {
-        "candidates": cand_manifest["counts"]["rows_out"],
-        "linked_records": linked_manifest["counts"]["rows_out"],
-        "decisions": {
-            r["decision"]: r["count"]
-            for r in catalog.read_table("link_decisions")  # committed parquet,
-            .groupBy("decision").count().collect()          # not the live plan
-        },
-    }
+    return _link_summary(catalog, resumed=False)
 
 
 def run_incremental_match(
@@ -185,27 +229,47 @@ def run_incremental_match(
     catalog: SparkCatalog,
     cfg: ERConfig | None = None,
 ) -> dict:
-    """After run_link: dedup the incoming set itself, then merge everything
-    into the registry (prose contract 03:397).
+    """After run_link: dedup the incoming set itself, then merge into the
+    registry (prose contract 03:397) — append-only, O(|incoming|) I/O:
 
-      accepted incoming            -> join their prior cluster (stable id)
-      remaining incoming           -> clustered among themselves (new ids)
-      cluster z_min/maxScore       -> recomputed from the union of all
-                                      verified match edges (old + link + new)
-    """
+      accepted incoming  -> appended as members of their prior cluster
+      remaining incoming -> clustered among themselves (new stable ids)
+      verified_pairs     -> appended: within-incoming match edges +
+                            accepted link edges (real prior endpoints)
+      signatures         -> appended: incoming signature rows
+      clusters           -> recomputed (small aggregate) from members
+
+    Every append manifest records the incoming_signatures snapshot id; a
+    replay of the same increment skips appends that already carry it
+    (exactly-once under foreachBatch replay)."""
     cfg = cfg or ERConfig()
     ch = cfg.config_hash()
 
     inc_sig = catalog.read_table("incoming_signatures")
+    inc_snap = catalog.snapshot_id("incoming_signatures") or ""
+    lineage = {"incoming_signatures": inc_snap}
+
+    def append_once(build_df, table: str) -> dict:
+        meta = catalog.table_meta(table)
+        if meta is not None and meta.get("inputs") == lineage:
+            return meta  # this increment is already applied to this table
+        return catalog.append_table(
+            build_df(), table, config_hash=ch, inputs=lineage
+        )
+
     decisions = catalog.read_table("link_decisions")
     accepted = decisions.where("decision = 'accept'").select(
         "image_id", F.col("best_cluster").alias("cluster_id")
     )
 
-    # match within incoming (full pipeline, incoming-only)
+    # match within incoming (full pipeline, incoming-only); materialized
+    # once — reused by components, member scores and the verified append
     pairs, _ = candidate_pairs(inc_sig, cfg)
-    scored = verify_pairs(pairs, inc_sig, cfg)
-    matches = scored.where("is_match").persist()  # reused across two writes
+    matches = (
+        verify_pairs(pairs, inc_sig, cfg)
+        .where("is_match")
+        .localCheckpoint(eager=True)
+    )
     # records accepted into the registry must not also seed new clusters:
     # drop within-incoming edges touching accepted records (their cluster
     # membership is already decided; the remaining graph re-clusters)
@@ -216,7 +280,7 @@ def run_incremental_match(
     )
     new_assign = connected_components(
         rem.select("id_l", "id_r"), cfg.cc_checkpoint_every
-    )
+    ).localCheckpoint(eager=True)
 
     # merged assignment for every incoming record
     inc_ids = inc_sig.select("image_id")
@@ -231,51 +295,30 @@ def run_incremental_match(
         .select("image_id", "cluster_id")
     )
 
-    # union of all verified edges feeding min/max link scores
-    old_members = catalog.read_table("cluster_members")
-    old_pairs = catalog.read_table("verified_pairs").where("is_match")
-    linked = catalog.read_table("linked")
-    # reconstruct accepted link edges as (prior, incoming, score) from the
-    # linked table: incoming rows carry per-edge scores
-    link_edge_scores = (
-        linked.where("z_source = 'incoming'")
-        .join(
-            accepted.withColumnRenamed("cluster_id", "acc_cluster"),
-            "image_id",
-        )
-        .where(F.col("z_cluster") == F.col("acc_cluster"))
-        .select(
-            F.col("image_id").alias("id_r"),
-            F.col("z_cluster").alias("cluster_id"),
-            F.col("z_score").alias("score"),
-        )
+    # accepted link edges with their REAL prior endpoints (ADR: a member
+    # whose only edge is a link must still carry non-NULL z_scores)
+    acc = accepted.select(
+        F.col("image_id").alias("id_r"), F.col("cluster_id").alias("acc_cluster")
     )
-    all_edges = (
-        old_pairs.select("id_l", "id_r", "score")
-        .unionByName(matches.select("id_l", "id_r", "score"))
-        .unionByName(
-            link_edge_scores.select(
-                F.col("cluster_id").alias("id_l"),  # score attaches to both ends
-                "id_r",
-                "score",
-            )
-        )
+    accepted_edges = (
+        catalog.read_table("link_edges")
+        .join(acc, "id_r")
+        .where(F.col("cluster_id") == F.col("acc_cluster"))
+        .select(*VERIFY_COLS)
     )
+    new_edges = matches.select(*VERIFY_COLS).unionByName(accepted_edges)
 
-    full_assign = (
-        old_members.select("image_id", "cluster_id")
-        .unionByName(merged)
-    )
+    # z_min/maxScore for the NEW member rows, from all edges that touch an
+    # incoming record (within-incoming matches + accepted link edges)
     per_member = (
-        all_edges.select(F.col("id_l").alias("image_id"), "score")
-        .unionByName(all_edges.select(F.col("id_r").alias("image_id"), "score"))
+        new_edges.select(F.col("id_l").alias("image_id"), "score")
+        .unionByName(new_edges.select(F.col("id_r").alias("image_id"), "score"))
         .groupBy("image_id")
         .agg(F.min("score").alias("z_minScore"), F.max("score").alias("z_maxScore"))
     )
-    sig_all = catalog.read_table("signatures").unionByName(inc_sig)
     new_members = (
-        full_assign.join(
-            sig_all.select("image_id", "caption_norm", "phash"), "image_id"
+        merged.join(
+            inc_sig.select("image_id", "caption_norm", "phash"), "image_id"
         )
         .join(per_member, "image_id", "left")
         .select(
@@ -288,24 +331,18 @@ def run_incremental_match(
             F.current_timestamp().alias("datetime"),
         )
     )
-    n_incoming = inc_ids.count()
+
     n_accepted = accepted.count()
     n_new = new_assign.count()
 
-    # IMPORTANT ordering: write_table swaps the snapshot and expires the old
-    # data files, so every lazy plan reading a table's OLD snapshot must be
-    # materialized (written) before that table is overwritten, and downstream
-    # consumers must re-read the committed snapshot, not reuse a stale plan.
-    # new_members reads old cluster_members + old verified_pairs + old
-    # signatures -> it goes first.
-    catalog.write_table(new_members, "cluster_members", config_hash=ch)
-    catalog.write_table(
-        old_pairs.select("id_l", "id_r", "score")
-        .unionByName(matches.select("id_l", "id_r", "score"))
-        .withColumn("is_match", F.lit(True)),
-        "verified_pairs",
-        config_hash=ch,
+    # append-only commits — prior data files stay byte-untouched
+    m_members = append_once(lambda: new_members, "cluster_members")
+    append_once(
+        lambda: new_edges.withColumn("is_match", F.lit(True)), "verified_pairs"
     )
+    append_once(lambda: inc_sig, "signatures")
+
+    # clusters is a small aggregate over members — recomputed, not appended
     members_now = catalog.read_table("cluster_members")
     clusters = (
         members_now.groupBy("cluster_id")
@@ -313,11 +350,9 @@ def run_incremental_match(
         .withColumn("datetime", F.current_timestamp())
     )
     catalog.write_table(clusters, "clusters", config_hash=ch)
-    # keep the full signature registry current for the next increment
-    catalog.write_table(sig_all, "signatures", config_hash=ch)
     return {
-        "incoming": n_incoming,
+        "incoming": catalog.table_meta("incoming_signatures")["counts"]["rows_out"],
         "accepted_into_registry": n_accepted,
         "new_cluster_records": n_new,
-        "total_members": members_now.count(),
+        "total_members": m_members["counts"]["rows_out"],
     }

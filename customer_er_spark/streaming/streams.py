@@ -66,15 +66,21 @@ def exact_dedup_stream(
     docs: DataFrame, watermark: str = "1 hour", ts_col: str = "ts"
 ) -> DataFrame:
     """Streaming exact dedup: first-seen row per normalized-text hash wins.
-    dropDuplicates state is bounded by the watermark (duplicates arriving
-    later than it may re-emit — the documented at-least-once trade-off)."""
+
+    Uses dropDuplicatesWithinWatermark, so the engine EVICTS a hash's state
+    once its event time falls behind the watermark — bounded state.  The
+    trade-off: a duplicate arriving later than (watermark) after the
+    first-seen row may re-emit (at-least-once dedup).  Plain
+    dropDuplicates(['text_hash']) would never evict (the watermark only
+    bounds state when the event-time column is part of the key), i.e.
+    unbounded state growth."""
     from customer_er_spark.functions.text import normalize_caption
 
     return (
         docs.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         .withColumn("text_hash", F.md5(normalize_caption(F.col("text"))))
         .withWatermark(ts_col, watermark)
-        .dropDuplicates(["text_hash"])
+        .dropDuplicatesWithinWatermark(["text_hash"])
     )
 
 
@@ -92,9 +98,17 @@ def stream_images_to_registry(
     merge); the very first batch bootstraps the registry via run_initial.
     Returns the StreamingQuery (caller awaits termination).
 
-    Exactly-once story: Spark's streaming checkpoint fences batch ids, and
-    every registry mutation is an atomic catalog snapshot commit, so a
-    replayed batch rewrites the same tables rather than double-inserting.
+    Exactly-once story (three fences, because foreachBatch replay is NOT
+    idempotent by itself):
+      1. the catalog-state batch fence skips any batch id at/below the last
+         fully-applied one (fast path);
+      2. run_link(run_key=...) resumes instead of recomputing when the
+         committed incoming_signatures manifest already carries this batch's
+         run_key — a replay after a crash reuses the same snapshot id;
+      3. every merge append records the incoming_signatures snapshot it
+         applied, so a replayed merge skips tables it already touched
+         (no duplicate image_ids even when the crash landed between the
+         catalog commits and the streaming checkpoint commit).
     """
     from customer_er_spark.plans.incremental import (
         run_incremental_match,
@@ -102,14 +116,20 @@ def stream_images_to_registry(
     )
     from customer_er_spark.plans.pipeline import run_initial
 
+    FENCE = "last_stream_batch_id"
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        last = catalog.get_state(FENCE, -1)
+        if batch_id <= last:
+            return  # replayed batch, already fully applied
         if catalog.table_meta("cluster_members") is None:
             run_initial(spark, batch_df, catalog, cfg)
         else:
-            run_link(spark, batch_df, catalog, cfg)
+            run_link(spark, batch_df, catalog, cfg, run_key=f"batch-{batch_id}")
             run_incremental_match(spark, batch_df, catalog, cfg)
+        catalog.set_state(FENCE, batch_id)
 
     stream = (
         spark.readStream.schema(IMAGES_SCHEMA)

@@ -1,0 +1,147 @@
+"""Append-only incremental merge: prior data files stay byte-untouched,
+replayed increments are no-ops, schema changes are validated."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from customer_er_spark.config import ERConfig
+from customer_er_spark.plans.incremental import run_incremental_match, run_link
+from customer_er_spark.plans.pipeline import run_initial
+
+CFG = ERConfig(shuffle_partitions=8)
+
+APPEND_TABLES = ["signatures", "cluster_members", "verified_pairs"]
+
+
+def _file_state(paths: list[str]) -> dict[str, tuple[int, float]]:
+    out = {}
+    for d in paths:
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out[p] = (st.st_size, st.st_mtime)
+    return out
+
+
+@pytest.fixture(scope="module")
+def append_run(spark, small_corpus, tmp_path_factory):
+    from customer_er_spark.catalog import SparkCatalog
+
+    catalog = SparkCatalog(spark, str(tmp_path_factory.mktemp("app_cat")))
+    initial = spark.read.parquet(f"{small_corpus['dir']}/images_initial.parquet")
+    incoming = spark.read.parquet(
+        f"{small_corpus['dir']}/images_incremental.parquet"
+    )
+    run_initial(spark, initial, catalog, CFG)
+    before = {
+        t: {
+            "paths": catalog._paths(catalog.table_meta(t)),
+            "rows": catalog.table_meta(t)["counts"]["rows_out"],
+        }
+        for t in APPEND_TABLES
+    }
+    files_before = {
+        t: _file_state(before[t]["paths"]) for t in APPEND_TABLES
+    }
+    run_link(spark, incoming, catalog, CFG, run_key="inc-1")
+    summary = run_incremental_match(spark, incoming, catalog, CFG)
+    return catalog, incoming, before, files_before, summary
+
+
+def test_increment_leaves_prior_files_untouched(append_run):
+    catalog, incoming, before, files_before, _ = append_run
+    for t in APPEND_TABLES:
+        meta = catalog.table_meta(t)
+        paths_now = catalog._paths(meta)
+        # new snapshot = old data dirs + appended dirs
+        for p in before[t]["paths"]:
+            assert p in paths_now, f"{t}: prior dir {p} dropped from snapshot"
+        # prior files byte-untouched (size+mtime identical, none deleted)
+        assert _file_state(before[t]["paths"]) == files_before[t], t
+
+
+def test_increment_row_accounting(append_run):
+    catalog, incoming, before, _, summary = append_run
+    n_inc = incoming.count()
+    sig = catalog.table_meta("signatures")
+    assert sig["counts"]["rows_out"] == before["signatures"]["rows"] + n_inc
+    assert sig["counts"]["rows_appended"] == n_inc
+    members = catalog.table_meta("cluster_members")
+    assert members["counts"]["rows_out"] == (
+        before["cluster_members"]["rows"] + n_inc
+    )
+    # appended verified edges include accepted link edges with REAL prior
+    # endpoints: at least one appended edge must span initial<->incoming
+    inc_ids = {r["image_id"] for r in incoming.select("image_id").collect()}
+    vp = catalog.read_table("verified_pairs")
+    cross = vp.where(
+        (~F.col("id_l").isin(list(inc_ids))) & F.col("id_r").isin(list(inc_ids))
+    ).count()
+    assert cross > 0
+
+
+def test_link_edge_members_have_scores(append_run):
+    """A member whose only edge was a link must carry non-NULL z_scores
+    (the 'NULL = singleton' contract)."""
+    catalog, incoming, _, _, _ = append_run
+    members = catalog.read_table("cluster_members")
+    multi = (
+        members.groupBy("cluster_id").count().where("count > 1")
+        .select("cluster_id")
+    )
+    inc_ids = {r["image_id"] for r in incoming.select("image_id").collect()}
+    bad = (
+        members.join(multi, "cluster_id")
+        .where(F.col("image_id").isin(list(inc_ids)))
+        .where(F.col("z_minScore").isNull())
+        .count()
+    )
+    assert bad == 0
+
+
+def test_replayed_increment_is_noop(spark, append_run):
+    catalog, incoming, _, _, summary = append_run
+    files_after = {
+        t: _file_state(catalog._paths(catalog.table_meta(t)))
+        for t in APPEND_TABLES
+    }
+    # replay the same micro-batch (same run_key) — crash-replay semantics
+    link2 = run_link(spark, incoming, catalog, CFG, run_key="inc-1")
+    assert link2["resumed"] is True
+    summary2 = run_incremental_match(spark, incoming, catalog, CFG)
+    assert summary2["total_members"] == summary["total_members"]
+    for t in APPEND_TABLES:
+        assert _file_state(catalog._paths(catalog.table_meta(t))) == files_after[t], t
+    members = catalog.read_table("cluster_members")
+    assert members.groupBy("image_id").count().where("count > 1").count() == 0
+
+
+def test_schema_validation(spark, catalog):
+    df1 = spark.range(5).select(F.col("id"), F.lit("x").alias("s"))
+    catalog.write_table(df1, "t_schema")
+    # same schema: fine
+    catalog.write_table(df1, "t_schema")
+    changed = spark.range(5).select(F.col("id"), F.lit(1.0).alias("s"))
+    with pytest.raises(ValueError, match="schema change"):
+        catalog.write_table(changed, "t_schema")
+    with pytest.raises(ValueError, match="schema change"):
+        catalog.append_table(changed, "t_schema")
+    # explicit evolution on overwrite is allowed
+    catalog.write_table(changed, "t_schema", overwrite_schema=True)
+    assert catalog.read_table("t_schema").schema["s"].dataType.typeName() == "double"
+
+
+def test_append_roundtrip_and_state(spark, catalog):
+    a = spark.range(3).select(F.col("id"))
+    b = spark.range(3, 7).select(F.col("id"))
+    catalog.write_table(a, "t_app")
+    m = catalog.append_table(b, "t_app")
+    assert m["counts"]["rows_out"] == 7 and m["counts"]["rows_appended"] == 4
+    got = sorted(r["id"] for r in catalog.read_table("t_app").collect())
+    assert got == list(range(7))
+    assert catalog.get_state("k", -1) == -1
+    catalog.set_state("k", 42)
+    assert catalog.get_state("k") == 42
