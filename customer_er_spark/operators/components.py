@@ -67,18 +67,42 @@ def connected_components(
     pairs: DataFrame,
     checkpoint_every: int = 3,
     max_iterations: int = 50,
+    catalog=None,
+    checkpoint_table: str = "cc_edges",
+    inputs: dict | None = None,
 ) -> DataFrame:
     """pairs(id_l, id_r) -> assignments(image_id, cluster_id).
 
     cluster_id = min image_id of the component.  Only nodes that appear in
     at least one edge are returned; callers union in singletons.
+
+    Durability: with a `catalog`, every `checkpoint_every` rounds the edge
+    set is committed as the `checkpoint_table` snapshot (manifest records
+    the round number and the caller's `inputs` lineage).  A killed run
+    resumes the fixpoint from the last committed round instead of
+    restarting at iteration 0 — the caller drops the table once its own
+    downstream output is committed.  Without a catalog, lineage is
+    truncated with ephemeral localCheckpoints (single-process mode).
     """
     edges = (
         pairs.select(F.col("id_l").alias("src"), F.col("id_r").alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
-    edges = edges.localCheckpoint(eager=True)
+    start_round = 0
+    lineage = inputs or {}
+    if catalog is not None:
+        meta = catalog.table_meta(checkpoint_table)
+        if meta is not None and meta.get("inputs") == lineage and "cc_round" in meta:
+            edges = catalog.read_table(checkpoint_table)  # resume mid-fixpoint
+            start_round = meta["cc_round"]
+        else:
+            catalog.write_table(
+                edges, checkpoint_table, inputs=lineage, extra_meta={"cc_round": 0}
+            )
+            edges = catalog.read_table(checkpoint_table)
+    else:
+        edges = edges.localCheckpoint(eager=True)
 
     def _sig(e: DataFrame) -> tuple:
         # order-independent set signature: (count, bit_xor of row hashes) —
@@ -91,9 +115,16 @@ def connected_components(
         return (row["n"], row["x"])
 
     sig = _sig(edges)
-    for it in range(max_iterations):
+    for it in range(start_round, max_iterations):
         new_edges = _small_star(_large_star(edges))
-        new_edges = new_edges.localCheckpoint(eager=True)
+        if catalog is not None and (it + 1) % checkpoint_every == 0:
+            catalog.write_table(
+                new_edges, checkpoint_table, inputs=lineage,
+                extra_meta={"cc_round": it + 1},
+            )
+            new_edges = catalog.read_table(checkpoint_table)
+        else:
+            new_edges = new_edges.localCheckpoint(eager=True)
         new_sig = _sig(new_edges)
         edges = new_edges
         if new_sig == sig:

@@ -180,36 +180,105 @@ def ngram_jaccard_pairs(
     jaccard_min: float = 0.6,
     id_col: str = "doc_id",
     text_col: str = "text",
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """Exact n-gram-set Jaccard near-dup pairs: (id_l, id_r, jacc).
+    """Exact n-gram-set Jaccard near-dup pairs:
+    (id_l, id_r, n_inter, n_union, jacc).
 
-    gram inverted-index self-join -> per-pair intersection count ->
-    |A|+|B|-|∩| union.  Exact (not probabilistic) — this is the oracle-
-    checkable twin of minhash_lsh_pairs.  At scale the gram join is the
-    skew risk (stopword-like grams): AQE skew-join splits those partitions;
-    a df-style frequency cap can drop ubiquitous grams (> X% of docs) —
-    left as an explicit `max_doc_freq` follow-up, currently uncapped to
-    keep the oracle semantics exact.
+    Exact (not probabilistic) — this is the oracle-checkable twin of
+    minhash_lsh_pairs, and BOTH modes produce identical above-threshold
+    output:
+
+      prefix_filter=True (default, the scale path): PPJoin-style prefix
+        filtering (Chaudhuri et al. SSJoin'06 / Bayardo et al. WWW'07).
+        Grams are globally ordered by (doc frequency asc, gram asc); each
+        doc indexes only its first ceil((1-t)*|A|)+1 grams — its RAREST
+        ones.  Lemma: two sets with Jaccard >= t must share an element
+        within these prefixes, so joining on prefix grams finds every
+        qualifying pair while ubiquitous stopword grams (the quadratic
+        skew risk of a naive gram join) never enter the index.  Exact
+        intersections are then computed per candidate via array_intersect
+        over the full gram sets (JVM-side, bounded by candidate count).
+      prefix_filter=False: the naive full inverted-index join (kept as the
+        brute-force twin for tests; its hot-gram partitions rely on AQE
+        skew splitting).
     """
     grams = ngram_grams(docs, n, id_col, text_col)
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    gl = grams.select(F.col("doc_id").alias("id_l"), "gram")
-    gr = grams.select(F.col("doc_id").alias("id_r"), "gram")
-    inter = (
-        gl.join(gr, "gram")
-        .where(F.col("id_l") < F.col("id_r"))
-        .groupBy("id_l", "id_r")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sl = sizes.select(F.col("doc_id").alias("id_l"), F.col("n_grams").alias("sz_l"))
-    sr = sizes.select(F.col("doc_id").alias("id_r"), F.col("n_grams").alias("sz_r"))
     # jacc is kept as the raw (unrounded) double; oracle comparisons should
     # use the integer columns — round() of a dyadic-rational ratio (e.g.
     # 1/128) can land exactly on a .5 decimal tie, where Spark (HALF_UP)
     # and other engines (half-even) disagree.
+    if not prefix_filter:
+        gl = grams.select(F.col("doc_id").alias("id_l"), "gram")
+        gr = grams.select(F.col("doc_id").alias("id_r"), "gram")
+        inter = (
+            gl.join(gr, "gram")
+            .where(F.col("id_l") < F.col("id_r"))
+            .groupBy("id_l", "id_r")
+            .agg(F.count("*").alias("n_inter"))
+        )
+        sl = sizes.select(F.col("doc_id").alias("id_l"), F.col("n_grams").alias("sz_l"))
+        sr = sizes.select(F.col("doc_id").alias("id_r"), F.col("n_grams").alias("sz_r"))
+        return (
+            inter.join(sl, "id_l")
+            .join(sr, "id_r")
+            .withColumn("n_union", F.col("sz_l") + F.col("sz_r") - F.col("n_inter"))
+            .withColumn("jacc", F.col("n_inter") / F.col("n_union"))
+            .where(F.col("jacc") >= jaccard_min)
+            .select("id_l", "id_r", "n_inter", "n_union", "jacc")
+        )
+
+    from pyspark.sql import Window
+
+    # global gram order: rare first (doc frequency asc, gram asc tie-break)
+    gram_df = grams.groupBy("gram").agg(F.count("*").alias("gram_df"))
+    ranked = (
+        grams.join(gram_df, "gram")
+        .join(sizes, "doc_id")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("gram_df", "gram")
+            ),
+        )
+    )
+    # prefix length ceil((1-t)*|A|)+1: one more than the provable minimum,
+    # guarding float rounding on the safe (longer) side
+    prefix = ranked.where(
+        F.col("rk")
+        <= F.ceil(F.lit(1.0 - jaccard_min) * F.col("n_grams")).cast("int") + 1
+    ).select("doc_id", "gram")
+    cand = (
+        prefix.select(F.col("doc_id").alias("id_l"), "gram")
+        .join(prefix.select(F.col("doc_id").alias("id_r"), "gram"), "gram")
+        .where(F.col("id_l") < F.col("id_r"))
+        .select("id_l", "id_r")
+        .distinct()
+    )
+    gram_sets = grams.groupBy("doc_id").agg(
+        F.collect_list("gram").alias("gset"), F.count("*").alias("n_grams")
+    )
     return (
-        inter.join(sl, "id_l")
-        .join(sr, "id_r")
+        cand.join(
+            gram_sets.select(
+                F.col("doc_id").alias("id_l"),
+                F.col("gset").alias("gs_l"),
+                F.col("n_grams").alias("sz_l"),
+            ),
+            "id_l",
+        )
+        .join(
+            gram_sets.select(
+                F.col("doc_id").alias("id_r"),
+                F.col("gset").alias("gs_r"),
+                F.col("n_grams").alias("sz_r"),
+            ),
+            "id_r",
+        )
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("gs_l", "gs_r")).cast("long")
+        )
         .withColumn("n_union", F.col("sz_l") + F.col("sz_r") - F.col("n_inter"))
         .withColumn("jacc", F.col("n_inter") / F.col("n_union"))
         .where(F.col("jacc") >= jaccard_min)

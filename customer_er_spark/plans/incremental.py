@@ -279,7 +279,9 @@ def run_incremental_match(
         .join(acc_ids, F.col("id_r") == acc_ids.aid, "left_anti")
     )
     new_assign = connected_components(
-        rem.select("id_l", "id_r"), cfg.cc_checkpoint_every
+        rem.select("id_l", "id_r"), cfg.cc_checkpoint_every,
+        catalog=catalog, checkpoint_table="cc_edges_incremental",
+        inputs={**lineage, "config": ch},  # durable mid-fixpoint resume
     ).localCheckpoint(eager=True)
 
     # merged assignment for every incoming record

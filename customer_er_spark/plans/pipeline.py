@@ -108,10 +108,15 @@ def run_initial(
     assignments = stage(
         "assignments", ver_snap,
         lambda: connected_components(
-            matches.select("id_l", "id_r"), cfg.cc_checkpoint_every
+            matches.select("id_l", "id_r"), cfg.cc_checkpoint_every,
+            catalog=catalog, checkpoint_table="cc_edges",
+            inputs={**ver_snap, "config": ch},  # durable mid-fixpoint resume
         ),
         summary_rows(summary, "verified_pairs"),
     )
+    # the committed assignments supersede the CC working checkpoint
+    if catalog.has_snapshot("assignments", ch, ver_snap):
+        catalog.drop_table("cc_edges")
 
     reg_inputs = {
         "assignments": catalog.snapshot_id("assignments") or "",

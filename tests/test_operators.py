@@ -209,3 +209,74 @@ def test_exact_dedup_survivor(spark):
     rows = {r["text_hash"]: r for r in exact_dedup(data).collect()}
     dup = [r for r in rows.values() if r["n_copies"] == 2]
     assert len(dup) == 1 and dup[0]["keep_id"] == 3  # normalized + min id
+
+
+def test_ngram_prefix_filter_matches_bruteforce_on_skew(spark):
+    """Skewed corpus: one ubiquitous stopword phrase in every doc.  The
+    prefix-filtered join must produce IDENTICAL above-threshold output to
+    the naive gram join while keeping the candidate set bounded (the
+    naive join explodes quadratically on the shared grams)."""
+    import random
+
+    from customer_er_spark.operators.dedup import ngram_grams, ngram_jaccard_pairs
+    from pyspark.sql import functions as F
+
+    rng = random.Random(99)
+
+    def words(k):
+        return " ".join(
+            "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(5))
+            for _ in range(k)
+        )
+
+    stop = "the quick common shared stopword prefix every doc repeats"
+    rows = []
+    for i in range(120):
+        rows.append((2 * i, f"{stop} {words(14)}"))
+    # planted near-dups: same unique tail, one typo
+    for i in range(5):
+        tail = words(14)
+        rows.append((1000 + 2 * i, f"{stop} {tail}"))
+        rows.append((1001 + 2 * i, f"{stop} {tail[:-1]}x"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    fast = ngram_jaccard_pairs(docs, n=3, jaccard_min=0.6, prefix_filter=True)
+    slow = ngram_jaccard_pairs(docs, n=3, jaccard_min=0.6, prefix_filter=False)
+    got_fast = {
+        (r["id_l"], r["id_r"], r["n_inter"], r["n_union"])
+        for r in fast.collect()
+    }
+    got_slow = {
+        (r["id_l"], r["id_r"], r["n_inter"], r["n_union"])
+        for r in slow.collect()
+    }
+    assert got_fast == got_slow
+    assert len(got_fast) >= 5  # planted pairs found
+
+    # candidate volume bound: the naive inverted join touches every pair
+    # sharing a stopword gram (~C(130,2)); prefix candidates stay small
+    grams = ngram_grams(docs, 3, "doc_id", "text")
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    gram_df = grams.groupBy("gram").agg(F.count("*").alias("gram_df"))
+    from pyspark.sql import Window
+
+    ranked = (
+        grams.join(gram_df, "gram").join(sizes, "doc_id")
+        .withColumn("rk", F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("gram_df", "gram")))
+    )
+    prefix = ranked.where(
+        F.col("rk") <= F.ceil(F.lit(0.4) * F.col("n_grams")).cast("int") + 1
+    ).select("doc_id", "gram")
+    n_cand = (
+        prefix.select(F.col("doc_id").alias("id_l"), "gram")
+        .join(prefix.select(F.col("doc_id").alias("id_r"), "gram"), "gram")
+        .where("id_l < id_r").select("id_l", "id_r").distinct().count()
+    )
+    n_naive = (
+        grams.select(F.col("doc_id").alias("id_l"), "gram")
+        .join(grams.select(F.col("doc_id").alias("id_r"), "gram"), "gram")
+        .where("id_l < id_r").select("id_l", "id_r").distinct().count()
+    )
+    assert n_naive >= 8000  # the stopword grams connect ~everything
+    assert n_cand < n_naive / 4, (n_cand, n_naive)

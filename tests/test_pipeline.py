@@ -110,3 +110,73 @@ def test_connected_components_vs_union_find(spark):
     }
     want = {n_: cid for n_, cid in oracle_assign.items()}
     assert got == want
+
+
+def test_cc_durable_checkpoint_resume(spark, catalog, monkeypatch):
+    """Kill connected components mid-fixpoint, rerun: the fixpoint resumes
+    from the last committed round instead of iteration 0."""
+    import customer_er_spark.operators.components as C
+
+    # path graph => several large/small-star rounds until convergence
+    n = 64
+    pairs = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n - 1)],
+        ["id_l", "id_r"],
+    )
+
+    rounds = {"n": 0}
+    orig = C._small_star
+
+    def failing(edges):
+        rounds["n"] += 1
+        if rounds["n"] == 3:
+            raise RuntimeError("injected mid-CC crash")
+        return orig(edges)
+
+    monkeypatch.setattr(C, "_small_star", failing)
+    with pytest.raises(RuntimeError, match="injected"):
+        C.connected_components(
+            pairs, checkpoint_every=1, catalog=catalog,
+            checkpoint_table="cc_test", inputs={"src": "path64"},
+        )
+    meta = catalog.table_meta("cc_test")
+    assert meta is not None and meta["cc_round"] >= 2  # survived the crash
+
+    monkeypatch.setattr(C, "_small_star", orig)
+    rounds_cold = {"n": 0}
+
+    def counting(edges):
+        rounds_cold["n"] += 1
+        return orig(edges)
+
+    monkeypatch.setattr(C, "_small_star", counting)
+    resumed = C.connected_components(
+        pairs, checkpoint_every=1, catalog=catalog,
+        checkpoint_table="cc_test", inputs={"src": "path64"},
+    )
+    resumed_rounds = rounds_cold["n"]
+
+    # correct result: one component rooted at the min id
+    rows = resumed.collect()
+    assert len(rows) == n
+    assert {r["cluster_id"] for r in rows} == {"n000"}
+
+    # cold run from scratch needs strictly more rounds than the resume
+    rounds_cold["n"] = 0
+    catalog.drop_table("cc_test")
+    cold = C.connected_components(
+        pairs, checkpoint_every=1, catalog=catalog,
+        checkpoint_table="cc_test", inputs={"src": "path64"},
+    )
+    assert {r["cluster_id"] for r in cold.collect()} == {"n000"}
+    assert resumed_rounds < rounds_cold["n"]
+
+    # a checkpoint from DIFFERENT inputs is ignored, not resumed
+    other = spark.createDataFrame([("a", "b")], ["id_l", "id_r"])
+    got = C.connected_components(
+        other, checkpoint_every=1, catalog=catalog,
+        checkpoint_table="cc_test", inputs={"src": "tiny"},
+    )
+    assert {(r["image_id"], r["cluster_id"]) for r in got.collect()} == {
+        ("a", "a"), ("b", "a"),
+    }
