@@ -253,3 +253,62 @@ class SparkCatalog:
             for d in os.listdir(self.base_dir)
             if os.path.exists(self._manifest_path(d))
         )
+
+    # -- database DDL (reference parity: /root/reference/00_Intro_&_Config.py
+    # 76-79, 01_Prepare_Data.py:45-51) -----------------------------------------
+    # Databases are sibling namespace dirs ("_ns_<name>") under the catalog
+    # root; each holds its own tables + manifests.  On a real cluster these
+    # map to Iceberg namespaces (CREATE NAMESPACE / DROP NAMESPACE).
+    _NS_PREFIX = "_ns_"
+
+    def _ns_dir(self, name: str) -> str:
+        if not name.replace("_", "").isalnum():
+            raise ValueError(f"bad database name {name!r}")
+        return os.path.join(self.base_dir, self._NS_PREFIX + name)
+
+    def create_database(self, name: str, if_not_exists: bool = True) -> None:
+        d = self._ns_dir(name)
+        if os.path.isdir(d) and not if_not_exists:
+            raise ValueError(f"database {name!r} exists")
+        os.makedirs(d, exist_ok=True)
+
+    def drop_database(self, name: str, cascade: bool = False) -> None:
+        d = self._ns_dir(name)
+        if os.path.isdir(d) and os.listdir(d) and not cascade:
+            raise ValueError(f"database {name!r} not empty (use cascade)")
+        shutil.rmtree(d, ignore_errors=True)
+
+    def database(self, name: str) -> "SparkCatalog":
+        """setCurrentDatabase analog: a catalog rooted at the namespace."""
+        d = self._ns_dir(name)
+        if not os.path.isdir(d):
+            raise ValueError(f"database {name!r} does not exist")
+        return SparkCatalog(self.spark, d)
+
+    def list_databases(self) -> list[str]:
+        return sorted(
+            d[len(self._NS_PREFIX):]
+            for d in os.listdir(self.base_dir)
+            if d.startswith(self._NS_PREFIX)
+            and os.path.isdir(os.path.join(self.base_dir, d))
+        )
+
+    def ddl(self, stmt: str):
+        """The exact DDL subset the reference issues via spark.sql:
+        CREATE DATABASE [IF NOT EXISTS] x / DROP DATABASE x [CASCADE] /
+        USE x.  Returns the namespaced catalog for USE, else None."""
+        import re
+
+        s = stmt.strip().rstrip(";")
+        m = re.fullmatch(
+            r"CREATE\s+DATABASE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)", s, re.I
+        )
+        if m:
+            return self.create_database(m.group(2), if_not_exists=bool(m.group(1)))
+        m = re.fullmatch(r"DROP\s+DATABASE\s+(\w+)(\s+CASCADE)?", s, re.I)
+        if m:
+            return self.drop_database(m.group(1), cascade=bool(m.group(2)))
+        m = re.fullmatch(r"USE\s+(\w+)", s, re.I)
+        if m:
+            return self.database(m.group(1))
+        raise ValueError(f"unsupported DDL: {stmt!r}")

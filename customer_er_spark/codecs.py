@@ -153,11 +153,33 @@ qpng_decode = png_decode  # payload is a valid PNG
 
 
 # ---------------------------------------------------------------------------
+# jpeg (baseline sequential DCT, pure numpy — customer_er_spark.jpeg)
+# ---------------------------------------------------------------------------
+
+def jpeg_encode(img: np.ndarray, quality: int = 92) -> bytes:
+    from customer_er_spark.jpeg import jpeg_encode as _enc
+
+    return _enc(img, quality)
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    from customer_er_spark.jpeg import jpeg_decode as _dec
+
+    return _dec(data)
+
+
+# ---------------------------------------------------------------------------
 # dispatch + PSNR
 # ---------------------------------------------------------------------------
 
-ENCODERS = {"raw": raw_encode, "png": png_encode, "qpng": qpng_encode}
-DECODERS = {"raw": raw_decode, "png": png_decode, "qpng": qpng_decode}
+ENCODERS = {
+    "raw": raw_encode, "png": png_encode, "qpng": qpng_encode,
+    "jpeg": jpeg_encode, "jpg": jpeg_encode,
+}
+DECODERS = {
+    "raw": raw_decode, "png": png_decode, "qpng": qpng_decode,
+    "jpeg": jpeg_decode, "jpg": jpeg_decode,
+}
 LOSSLESS = {"raw", "png"}
 
 

@@ -2,10 +2,10 @@
 
 Images/audio/video ride as `binary` columns; every transform is an
 Arrow-batched mapInPandas operator with a real schema, partitioning story,
-and batch shape.  Decoders for the engine's own formats (png/raw/qpng) are
-real (customer_er_spark.codecs); formats needing external libs (jpeg, mp3,
-mp4) are STUBBED behind NotImplementedError — the Spark-side plumbing is
-what's tested.
+and batch shape.  Image decoders are real (customer_er_spark.codecs:
+png/raw/qpng plus a pure-numpy baseline JPEG); audio/video formats needing
+external libs (mp3, wav, mp4, webm) are STUBBED behind NotImplementedError
+— their Spark-side plumbing is what's tested.
 
 Operators:
   decode_meta      bytes -> (ok, height, width, channels, mean_luma)
@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from customer_er_spark import codecs
 
-_STUB_FORMATS = {"jpeg", "jpg", "mp3", "wav", "mp4", "webm"}
+_STUB_FORMATS = {"mp3", "wav", "mp4", "webm"}
 
 
 def _decode(data: bytes, fmt: str) -> np.ndarray:

@@ -5,7 +5,10 @@ Replaces Zingg's learned pairwise scorer (FUZZY MatchTypes,
 cost-tiered cascade — cheapest check first, each tier runs on strictly
 fewer rows:
 
-  tier 0 (pure SQL)     hamming = bit_count(phash_l XOR phash_r)
+  tier 0 (pure SQL)     hamming = bit_count(phash_l XOR phash_r), attached
+                        from an (id, phash)-only projection — gate-failed
+                        pairs (the vast majority of LSH candidates) never
+                        see the wide MinHash arrays or any later tier
   tier 1 (pure SQL)     caption equality on normalized captions -> sim 1.0
   tier 2 (JVM codegen)  MinHash-Jaccard estimate: mean(sig_l[i]==sig_r[i])
                         via zip_with + aggregate — no Python
@@ -13,7 +16,9 @@ fewer rows:
                         Jaccard lands in the ambiguity band [jacc_lo, jacc_hi)
 
 MATCH  iff hamming <= phash_hamming_max AND caption_sim >= caption_sim_min.
-score = w_caption*caption_sim + w_image*(1 - hamming/64)   (z_score analog).
+score = w_caption*caption_sim + w_image*(1 - hamming/64)   (z_score analog);
+gate-failed pairs carry NULL caption_sim/score (they are never matches, and
+pulling captions for them would dominate the shuffle at scale).
 
 Optionally enforces the per-row decode invariant (PSNR>=40dB lossy / exact
 lossless) on matched pairs when image bytes are supplied.
@@ -50,22 +55,52 @@ def verify_pairs(
 ) -> DataFrame:
     """-> (id_l, id_r, hamming, caption_sim, image_sim, score, is_match)
 
-    The expensive tier-3 LCS UDF runs ONLY on pairs that (a) already pass
-    the pHash Hamming gate — a pair failing it can never be a match, so
-    refining its caption similarity can't change the verdict — and (b)
-    have unequal captions with a MinHash-Jaccard estimate inside the
-    ambiguity band.  On adversarially self-similar corpora this cuts the
-    Python-side work from O(candidates) to O(true near-dups).
+    Tier-0 FIRST, with the narrowest possible attach: the pHash Hamming
+    gate joins only (image_id, phash) — 8 bytes per side — to every
+    candidate pair.  On realistic corpora the bulk of LSH candidates are
+    random 16-bit band-key collisions that fail this gate; shipping the
+    full MinHash array (~1 KB per side) to those pairs would dominate the
+    verify shuffle (measured: 17.4M candidates for 240k images, almost all
+    gate-rejected).  Gate-failed pairs can never match, so they exit with
+    caption_sim/score = NULL and never touch the caption tiers.
 
-    Built as base + left-join of the tiny LCS refinement (broadcast) rather
-    than a 3-way union, so the candidate<->signature attach join is
-    evaluated once per scan instead of once per branch.
+    Tiers for gate-survivors, each on strictly fewer rows:
+      tier 1 (pure SQL)     caption equality -> sim 1.0
+      tier 2 (JVM codegen)  MinHash-Jaccard estimate via zip_with/aggregate
+      tier 3 (pandas UDF)   suffix-array LCS, ONLY inside the Jaccard
+                            ambiguity band [jacc_lo, jacc_hi)
+
+    No broadcast hints anywhere: the refinement sets are data-dependent;
+    AQE picks broadcast at runtime when a side is actually small.
     """
-    base = _attach_sides(pairs, signatures)
-    base = base.withColumn(
-        "hamming",
-        F.bit_count(F.col("phash_l").bitwiseXOR(F.col("phash_r"))),
-    ).withColumn(
+    sig_ph = signatures.select("image_id", "phash")
+    ph = (
+        pairs.join(
+            sig_ph.select(
+                F.col("image_id").alias("id_l"), F.col("phash").alias("phash_l")
+            ),
+            "id_l",
+        )
+        .join(
+            sig_ph.select(
+                F.col("image_id").alias("id_r"), F.col("phash").alias("phash_r")
+            ),
+            "id_r",
+        )
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("phash_l").bitwiseXOR(F.col("phash_r"))),
+        )
+        .select("id_l", "id_r", "hamming")
+    )
+    # narrow (3 columns) but feeds both branches: materialize once (on a
+    # cluster this would be a checkpoint-table write)
+    ph = ph.localCheckpoint(eager=True)
+    passed = ph.where(F.col("hamming") <= F.lit(cfg.phash_hamming_max))
+    failed = ph.where(F.col("hamming") > F.lit(cfg.phash_hamming_max))
+
+    # attach captions + MinHash arrays ONLY to gate survivors
+    base = _attach_sides(passed, signatures).withColumn(
         "jacc",
         F.aggregate(
             F.zip_with(
@@ -76,15 +111,14 @@ def verify_pairs(
         )
         / F.lit(float(cfg.num_hashes)),
     )
-    # materialize once: base feeds both the LCS refinement subquery and the
-    # final scoring scan — without this the attach joins + Jaccard aggregate
-    # run twice (on a cluster this would be a checkpoint-table write)
-    base = base.drop("mh_l", "mh_r").localCheckpoint(eager=True)
+    # feeds the LCS refinement subquery AND the final scoring scan
+    base = base.drop("mh_l", "mh_r", "phash_l", "phash_r").localCheckpoint(
+        eager=True
+    )
 
     border_lcs = (
         base.where(
-            (F.col("hamming") <= F.lit(cfg.phash_hamming_max))
-            & (~(F.col("cap_l") == F.col("cap_r")))
+            (~(F.col("cap_l") == F.col("cap_r")))
             & (F.col("jacc") >= cfg.jacc_lo)
             & (F.col("jacc") < cfg.jacc_hi)
         )
@@ -95,11 +129,7 @@ def verify_pairs(
         )
     )
 
-    # no broadcast hint: the ambiguity-band pair set is data-dependent and
-    # unbounded (a near-dup-heavy corpus puts millions of rows here).  AQE
-    # picks a broadcast join at runtime when the side is actually small and
-    # keeps the escape hatch to shuffle when it is not.
-    scored = (
+    scored_pass = (
         base.join(border_lcs, ["id_l", "id_r"], "left")
         .withColumn(
             "caption_sim",
@@ -120,13 +150,23 @@ def verify_pairs(
         )
         .withColumn(
             "is_match",
-            (F.col("hamming") <= F.lit(cfg.phash_hamming_max))
-            & (F.col("caption_sim") >= F.lit(cfg.caption_sim_min)),
+            F.col("caption_sim") >= F.lit(cfg.caption_sim_min),
+        )
+        .select(
+            "id_l", "id_r", "hamming", "caption_sim", "image_sim",
+            "score", "is_match",
         )
     )
-    return scored.select(
-        "id_l", "id_r", "hamming", "caption_sim", "image_sim", "score", "is_match"
+    scored_fail = failed.select(
+        "id_l",
+        "id_r",
+        "hamming",
+        F.lit(None).cast("double").alias("caption_sim"),
+        (F.lit(1.0) - F.col("hamming") / F.lit(64.0)).alias("image_sim"),
+        F.lit(None).cast("double").alias("score"),
+        F.lit(False).alias("is_match"),
     )
+    return scored_pass.unionByName(scored_fail)
 
 
 def check_decode_invariant(

@@ -145,3 +145,21 @@ def test_append_roundtrip_and_state(spark, catalog):
     assert catalog.get_state("k", -1) == -1
     catalog.set_state("k", 42)
     assert catalog.get_state("k") == 42
+
+
+def test_database_ddl(spark, catalog):
+    # the reference's DDL surface (00:76-79, 01:45-51) over dir namespaces
+    catalog.ddl("CREATE DATABASE IF NOT EXISTS sandbox")
+    catalog.ddl("CREATE DATABASE IF NOT EXISTS sandbox")  # idempotent
+    assert "sandbox" in catalog.list_databases()
+    ns = catalog.ddl("USE sandbox")
+    df = spark.range(4).select(F.col("id"))
+    ns.write_table(df, "t1")
+    assert ns.list_tables() == ["t1"]
+    assert "t1" not in catalog.list_tables()  # namespaced, not root
+    with pytest.raises(ValueError, match="not empty"):
+        catalog.ddl("DROP DATABASE sandbox")
+    catalog.ddl("DROP DATABASE sandbox CASCADE")
+    assert "sandbox" not in catalog.list_databases()
+    with pytest.raises(ValueError, match="unsupported DDL"):
+        catalog.ddl("ALTER TABLE x ADD COLUMN y int")

@@ -59,3 +59,77 @@ def test_phash_batch_matches_scalar(rng):
     got = phash64_batch(batch)
     want = [phash64(i) for i in imgs]
     assert list(got) == want
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG (pure-numpy codec)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_roundtrip_psnr(rng):
+    from customer_er_spark import codecs
+
+    # smooth/natural-ish content: PSNR well above the 40dB budget
+    grad = np.zeros((40, 40, 3), np.uint8)
+    grad[..., 0] = np.linspace(0, 255, 40).astype(np.uint8)[None, :]
+    grad[..., 1] = np.linspace(0, 255, 40).astype(np.uint8)[:, None]
+    grad[..., 2] = 128
+    dec = codecs.decode(codecs.encode(grad, "jpeg"), "jpeg")
+    assert dec.shape == grad.shape
+    assert codecs.psnr(grad, dec) >= 40.0
+
+    # gray, non-multiple-of-8 size
+    g = np.clip(
+        np.round(np.indices((17, 23)).sum(0) * 5), 0, 255
+    ).astype(np.uint8)
+    d = codecs.decode(codecs.encode(g, "jpg"), "jpg")
+    assert d.shape == g.shape
+    assert codecs.psnr(g, d) >= 40.0
+
+    # re-encode fixpoint (the invariant check's lossy condition) holds even
+    # on pure noise — requantizing already-quantized coefficients is gentle
+    noise = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    first = codecs.decode(codecs.encode(noise, "jpeg"), "jpeg")
+    again = codecs.decode(codecs.encode(first, "jpeg"), "jpeg")
+    assert codecs.psnr(first, again) >= 40.0
+
+
+def test_jpeg_decodes_hand_assembled_fixture():
+    """A minimal baseline JPEG assembled BYTE-BY-BYTE from the T.81 spec
+    (not produced by our encoder): 8x8 grayscale, all-ones quant table,
+    single DC coefficient 16 -> every pixel 130."""
+    from customer_er_spark.jpeg import jpeg_decode
+
+    fixture = bytes(
+        [0xFF, 0xD8]                                    # SOI
+        + [0xFF, 0xDB, 0x00, 0x43, 0x00] + [1] * 64     # DQT id0, all ones
+        + [0xFF, 0xC0, 0x00, 0x0B, 0x08,                # SOF0: depth 8
+           0x00, 0x08, 0x00, 0x08, 0x01,                # 8x8, 1 component
+           0x01, 0x11, 0x00]                            # id1, 1x1, qt0
+        + [0xFF, 0xC4, 0x00, 0x14, 0x00,                # DHT DC0:
+           1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+           0x05]                                        # one 1-bit code -> cat 5
+        + [0xFF, 0xC4, 0x00, 0x14, 0x10,                # DHT AC0:
+           1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+           0x00]                                        # one 1-bit code -> EOB
+        + [0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00, 0x00, 0x3F, 0x00]  # SOS
+        # scan: DC code '0', magnitude 16 = '10000', EOB '0', pad '1'
+        + [0b01000001]
+        + [0xFF, 0xD9]                                  # EOI
+    )
+    img = jpeg_decode(fixture)
+    assert img.shape == (8, 8)
+    assert (img == 130).all(), img
+
+
+def test_jpeg_rejects_unsupported_modes(rng):
+    from customer_er_spark.jpeg import jpeg_decode, jpeg_encode
+
+    data = bytearray(jpeg_encode(rng.integers(0, 256, (8, 8), dtype=np.uint8)))
+    sof = data.find(b"\xff\xc0")
+    assert sof > 0
+    data[sof + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="progressive|unsupported"):
+        jpeg_decode(bytes(data))
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_decode(b"not a jpeg at all")

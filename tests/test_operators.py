@@ -172,11 +172,18 @@ def test_multimodal_stub_format_raises(spark, small_corpus):
     images = (
         spark.read.parquet(f"{small_corpus['dir']}/images.parquet")
         .limit(5)
-        .withColumn("fmt", F.lit("jpeg"))
+        .withColumn("fmt", F.lit("mp4"))
     )
-    # stubbed codec -> ok=False rows, not a crash
+    # stubbed codec (audio/video) -> ok=False rows, not a crash
     rows = decode_meta(images).collect()
     assert all(not r["ok"] for r in rows)
+    # mislabeled format (png bytes tagged jpeg) -> decode error, not a crash
+    mislabeled = (
+        spark.read.parquet(f"{small_corpus['dir']}/images.parquet")
+        .limit(5)
+        .withColumn("fmt", F.lit("jpeg"))
+    )
+    assert all(not r["ok"] for r in decode_meta(mislabeled).collect())
 
 
 def test_multimodal_resize_and_features(spark, small_corpus):
@@ -280,3 +287,38 @@ def test_ngram_prefix_filter_matches_bruteforce_on_skew(spark):
     )
     assert n_naive >= 8000  # the stopword grams connect ~everything
     assert n_cand < n_naive / 4, (n_cand, n_naive)
+
+
+def test_jpeg_decode_meta_and_invariant(spark):
+    """Real JPEG rows flow through decode_meta (ok=true) and pass the
+    decoded-pixel invariant audit (PSNR>=40 lossy re-encode fixpoint +
+    phash parity)."""
+    import numpy as np
+
+    from customer_er_spark import codecs
+    from customer_er_spark import phash as ph
+    from customer_er_spark.config import ERConfig
+    from customer_er_spark.operators.multimodal import decode_meta
+    from customer_er_spark.operators.verify import check_decode_invariant
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(8):
+        base = rng.integers(0, 256, (32, 32)).astype(np.float64)
+        img = np.clip(
+            (base + np.roll(base, 1, 0) + np.roll(base, 1, 1)) / 3, 0, 255
+        ).astype(np.uint8)
+        blob = codecs.encode(img, "jpeg")
+        dec = codecs.decode(blob, "jpeg")  # stored pixels = decoded pixels
+        rows.append(
+            (f"j_{i:03d}", bytearray(blob), 32, 32, "jpeg",
+             f"caption {i}", int(ph.phash64(dec)))
+        )
+    images = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, "
+              "caption string, phash long",
+    )
+    meta = decode_meta(images).collect()
+    assert len(meta) == 8 and all(r["ok"] for r in meta)
+    violations = check_decode_invariant(images, ERConfig()).collect()
+    assert violations == [], violations
