@@ -72,21 +72,32 @@ def link_pairs(
     from customer_er_spark.operators.candidates import salted_buckets
 
     pb = band_keys(priors_sig, cfg).select(
-        "band_key", "image_id", F.lit("p").alias("side")
+        "band_key", "image_id", "phash", F.lit("p").alias("side")
     )
     ib = band_keys(incoming_sig, cfg).select(
-        "band_key", "image_id", F.lit("i").alias("side")
+        "band_key", "image_id", "phash", F.lit("i").alias("side")
     )
     both = pb.unionByName(ib).repartition(cfg.shuffle_partitions, "band_key")
     salted, band_stats = salted_buckets(both, cfg)
     left = salted.where("side = 'p'").select(
-        "band_key", "salt", F.col("image_id").alias("id_l")
+        "band_key", "salt",
+        F.col("image_id").alias("id_l"), F.col("phash").alias("ph_l"),
     )
     right = salted.where("side = 'i'").select(
-        "band_key", "salt", F.col("image_id").alias("id_r")
+        "band_key", "salt",
+        F.col("image_id").alias("id_r"), F.col("phash").alias("ph_r"),
     )
+    # Hamming feasibility gate inside the join (same as candidate_pairs):
+    # infeasible cross pairs can never verify, so they die before the
+    # distinct exchange
+    feasible = F.bit_count(
+        F.col("ph_l").bitwiseXOR(F.col("ph_r"))
+    ) <= F.lit(cfg.phash_hamming_max)
     pairs = (
-        left.join(right, ["band_key", "salt"]).select("id_l", "id_r").distinct()
+        left.join(right, ["band_key", "salt"])
+        .where(feasible)
+        .select("id_l", "id_r")
+        .distinct()
     )
     return pairs, band_stats
 

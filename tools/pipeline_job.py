@@ -43,7 +43,7 @@ def main() -> None:
     n = images.count()
 
     t0 = time.time()
-    run_initial(spark, images, catalog, cfg)
+    summary = run_initial(spark, images, catalog, cfg)
     wall = time.time() - t0
 
     truth = spark.read.parquet(f"{corpus_dir}/truth_pairs.parquet")
@@ -57,6 +57,13 @@ def main() -> None:
                 "images_per_sec": round(n / wall, 2),
                 "recall": round(rec["recall"], 4),
                 "precision": round(rec["precision"], 4),
+                # per-stage walls: the scaling-efficiency evidence that
+                # survives this sandbox's 2-3x wall-clock jitter
+                "stages": {
+                    k: v.get("wall_sec")
+                    for k, v in summary.items()
+                    if isinstance(v, dict) and "wall_sec" in v
+                },
             }
         )
     )
