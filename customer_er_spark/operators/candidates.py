@@ -159,21 +159,33 @@ def candidate_pairs(
     )
     salted, band_stats = salted_buckets(bands, cfg)
 
-    left = salted.select(
-        "band_key", "salt",
-        F.col("image_id").alias("id_l"), F.col("phash").alias("ph_l"),
+    # ONE exchange total: the repartition(band_key) above.  The window in
+    # salted_buckets reuses it, and groupBy(band_key, salt) is satisfied by
+    # hash-partitioning on band_key (a subset of the grouping keys), so the
+    # bucket members collect WITHOUT another shuffle.  Pair expansion then
+    # happens in-partition via higher-order functions (whole-stage codegen)
+    # instead of a self-join that would re-shuffle both sides of the
+    # 60-keys-per-record band table.  Arrays are bounded by max_band_size,
+    # so per-bucket expansion is O(max_band_size^2) worst-case.
+    buckets = salted.groupBy("band_key", "salt").agg(
+        F.expr(
+            "array_sort(collect_list(struct(image_id, phash)))"
+        ).alias("mem"),
+        F.first("n_salts").alias("n_salts"),
     )
-    right = salted.select(
-        "band_key", "salt",
-        F.col("image_id").alias("id_r"), F.col("phash").alias("ph_r"),
+    pair_expr = F.expr(
+        f"""
+        flatten(transform(mem, (x, i) ->
+          filter(
+            transform(slice(mem, i + 2, size(mem)),
+                      y -> struct(x.image_id AS id_l, y.image_id AS id_r,
+                                  bit_count(x.phash ^ y.phash) AS hd)),
+            p -> p.hd <= {cfg.phash_hamming_max})))
+        """
     )
-    feasible = F.bit_count(
-        F.col("ph_l").bitwiseXOR(F.col("ph_r"))
-    ) <= F.lit(cfg.phash_hamming_max)
     pairs_within = (
-        left.join(right, ["band_key", "salt"])
-        .where((F.col("id_l") < F.col("id_r")) & feasible)
-        .select("id_l", "id_r")
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.id_l", "p.id_r")
     )
 
     # chain sub-bucket representatives of each hot band so a genuinely
@@ -181,10 +193,8 @@ def candidate_pairs(
     # when two members never co-locate in a sub-bucket; chain edges pass
     # the same feasibility gate (an infeasible chain edge could never
     # verify, so dropping it loses nothing)
-    reps = (
-        salted.where(F.col("n_salts") > 1)
-        .groupBy("band_key", "salt")
-        .agg(F.min(F.struct("image_id", "phash")).alias("rep"))
+    reps = buckets.where(F.col("n_salts") > 1).select(
+        "band_key", "salt", F.element_at("mem", 1).alias("rep")
     )
     wchain = Window.partitionBy("band_key").orderBy("salt")
     chain = (

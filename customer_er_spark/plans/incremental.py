@@ -79,24 +79,34 @@ def link_pairs(
     )
     both = pb.unionByName(ib).repartition(cfg.shuffle_partitions, "band_key")
     salted, band_stats = salted_buckets(both, cfg)
-    left = salted.where("side = 'p'").select(
-        "band_key", "salt",
-        F.col("image_id").alias("id_l"), F.col("phash").alias("ph_l"),
+    # in-partition cross-side expansion (same single-exchange shape as
+    # candidate_pairs: groupBy(band_key, salt) is satisfied by the band_key
+    # partitioning) with the Hamming feasibility gate applied inline —
+    # infeasible cross pairs can never verify, so they die in codegen
+    # before the distinct exchange
+    buckets = salted.groupBy("band_key", "salt").agg(
+        F.expr(
+            "collect_list(CASE WHEN side = 'p' "
+            "THEN struct(image_id, phash) END)"
+        ).alias("ps"),
+        F.expr(
+            "collect_list(CASE WHEN side = 'i' "
+            "THEN struct(image_id, phash) END)"
+        ).alias("inc"),
     )
-    right = salted.where("side = 'i'").select(
-        "band_key", "salt",
-        F.col("image_id").alias("id_r"), F.col("phash").alias("ph_r"),
+    pair_expr = F.expr(
+        f"""
+        flatten(transform(ps, x ->
+          filter(
+            transform(inc, y -> struct(x.image_id AS id_l,
+                                       y.image_id AS id_r,
+                                       bit_count(x.phash ^ y.phash) AS hd)),
+            p -> p.hd <= {cfg.phash_hamming_max})))
+        """
     )
-    # Hamming feasibility gate inside the join (same as candidate_pairs):
-    # infeasible cross pairs can never verify, so they die before the
-    # distinct exchange
-    feasible = F.bit_count(
-        F.col("ph_l").bitwiseXOR(F.col("ph_r"))
-    ) <= F.lit(cfg.phash_hamming_max)
     pairs = (
-        left.join(right, ["band_key", "salt"])
-        .where(feasible)
-        .select("id_l", "id_r")
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.id_l", "p.id_r")
         .distinct()
     )
     return pairs, band_stats
