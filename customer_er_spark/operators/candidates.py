@@ -103,8 +103,12 @@ def salted_buckets(bands: DataFrame, cfg: ERConfig) -> tuple[DataFrame, DataFram
     salted: input rows of non-singleton buckets, annotated with
         n_members (bucket size), n_salts (1 for normal buckets,
         ceil(m/max_band_size) for hot ones) and salt in [0, n_salts).
-    band_stats(band_key, n_members, n_salts, degraded): one row per
-        non-singleton band — the skew audit trail (no silent caps).
+    band_stats(band_key, n_members, n_salts, degraded, n_bands): the skew
+        audit trail (no silent caps), kept WRITE-CHEAP at scale — one
+        exact row per DEGRADED band (n_bands=1) unioned with a band-size
+        histogram (band_key/n_salts NULL, n_bands = #bands of that size);
+        millions of healthy bands aggregate to a few hundred histogram
+        rows instead of a full per-band table.
 
     Bucket sizes come from a window over band_key; callers repartition by
     band_key first so the window reuses that exchange.
@@ -127,15 +131,27 @@ def salted_buckets(bands: DataFrame, cfg: ERConfig) -> tuple[DataFrame, DataFram
             ),
         )
     )
-    band_stats = (
-        salted.groupBy("band_key")
-        .agg(
-            F.first("n_members").alias("n_members"),
-            F.first("n_salts").alias("n_salts"),
-        )
-        .withColumn("degraded", F.col("n_salts") > 1)
+    per_band = salted.groupBy("band_key").agg(
+        F.first("n_members").alias("n_members"),
+        F.first("n_salts").alias("n_salts"),
     )
-    return salted, band_stats
+    degraded_rows = (
+        per_band.where(F.col("n_salts") > 1)
+        .withColumn("degraded", F.lit(True))
+        .withColumn("n_bands", F.lit(1).cast("long"))
+    )
+    hist_rows = (
+        per_band.groupBy("n_members")
+        .agg(F.count("*").alias("n_bands"))
+        .select(
+            F.lit(None).cast("long").alias("band_key"),
+            F.col("n_members"),
+            F.lit(None).cast("int").alias("n_salts"),
+            F.lit(False).alias("degraded"),
+            "n_bands",
+        )
+    )
+    return salted, degraded_rows.unionByName(hist_rows)
 
 
 def candidate_pairs(
@@ -151,8 +167,8 @@ def candidate_pairs(
     before the distinct exchange) means the quadratic tail of random
     band-key collisions is never shuffled or materialized.
 
-    band_stats(band_key, n_members, n_salts, degraded) feeds the metrics
-    table.
+    band_stats (degraded bands exact + band-size histogram, see
+    salted_buckets) feeds the metrics table.
     """
     bands = band_keys(signatures, cfg).repartition(
         cfg.shuffle_partitions, "band_key"
