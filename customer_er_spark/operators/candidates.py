@@ -50,10 +50,11 @@ downstream.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from customer_er_spark.config import ERConfig
+from customer_er_spark.operators.banded import banded_pairs, salted_bands
 
 
 def band_keys(signatures: DataFrame, cfg: ERConfig) -> DataFrame:
@@ -100,58 +101,11 @@ def band_keys(signatures: DataFrame, cfg: ERConfig) -> DataFrame:
 def salted_buckets(bands: DataFrame, cfg: ERConfig) -> tuple[DataFrame, DataFrame]:
     """(image_id, band_key)[, extra cols] -> (salted, band_stats).
 
-    salted: input rows of non-singleton buckets, annotated with
-        n_members (bucket size), n_salts (1 for normal buckets,
-        ceil(m/max_band_size) for hot ones) and salt in [0, n_salts).
-    band_stats(band_key, n_members, n_salts, degraded, n_bands): the skew
-        audit trail (no silent caps), kept WRITE-CHEAP at scale — one
-        exact row per DEGRADED band (n_bands=1) unioned with a band-size
-        histogram (band_key/n_salts NULL, n_bands = #bands of that size);
-        millions of healthy bands aggregate to a few hundred histogram
-        rows instead of a full per-band table.
-
-    Bucket sizes come from a window over band_key; callers repartition by
-    band_key first so the window reuses that exchange.
+    Thin image-pipeline wrapper over the engine-wide kernel in
+    operators/banded.py (salted_bands) — see that module for the policy,
+    audit-trail, and execution-shape documentation.
     """
-    w = Window.partitionBy("band_key")
-    ann = bands.withColumn("n_members", F.count("*").over(w)).where(
-        F.col("n_members") > 1  # singleton buckets generate no pairs
-    )
-    salted = (
-        ann.withColumn(
-            "n_salts",
-            F.ceil(F.col("n_members") / F.lit(cfg.max_band_size)).cast("int"),
-        )
-        .withColumn(
-            "salt",
-            F.when(F.col("n_salts") <= 1, F.lit(0)).otherwise(
-                F.pmod(
-                    F.xxhash64("image_id", "band_key"), F.col("n_salts")
-                ).cast("int")
-            ),
-        )
-    )
-    per_band = salted.groupBy("band_key").agg(
-        F.first("n_members").alias("n_members"),
-        F.first("n_salts").alias("n_salts"),
-    )
-    degraded_rows = (
-        per_band.where(F.col("n_salts") > 1)
-        .withColumn("degraded", F.lit(True))
-        .withColumn("n_bands", F.lit(1).cast("long"))
-    )
-    hist_rows = (
-        per_band.groupBy("n_members")
-        .agg(F.count("*").alias("n_bands"))
-        .select(
-            F.lit(None).cast("long").alias("band_key"),
-            F.col("n_members"),
-            F.lit(None).cast("int").alias("n_salts"),
-            F.lit(False).alias("degraded"),
-            "n_bands",
-        )
-    )
-    return salted, degraded_rows.unionByName(hist_rows)
+    return salted_bands(bands, cfg.max_band_size, id_col="image_id")
 
 
 def candidate_pairs(
@@ -170,69 +124,16 @@ def candidate_pairs(
     band_stats (degraded bands exact + band-size histogram, see
     salted_buckets) feeds the metrics table.
     """
-    bands = band_keys(signatures, cfg).repartition(
-        cfg.shuffle_partitions, "band_key"
-    )
-    salted, band_stats = salted_buckets(bands, cfg)
-
-    # ONE exchange total: the repartition(band_key) above.  The window in
-    # salted_buckets reuses it, and groupBy(band_key, salt) is satisfied by
-    # hash-partitioning on band_key (a subset of the grouping keys), so the
-    # bucket members collect WITHOUT another shuffle.  Pair expansion then
-    # happens in-partition via higher-order functions (whole-stage codegen)
-    # instead of a self-join that would re-shuffle both sides of the
-    # 60-keys-per-record band table.  Arrays are bounded by max_band_size,
-    # so per-bucket expansion is O(max_band_size^2) worst-case.
-    buckets = salted.groupBy("band_key", "salt").agg(
-        F.expr(
-            "array_sort(collect_list(struct(image_id, phash)))"
-        ).alias("mem"),
-        F.first("n_salts").alias("n_salts"),
-    )
-    pair_expr = F.expr(
-        f"""
-        flatten(transform(mem, (x, i) ->
-          filter(
-            transform(slice(mem, i + 2, size(mem)),
-                      y -> struct(x.image_id AS id_l, y.image_id AS id_r,
-                                  bit_count(x.phash ^ y.phash) AS hd)),
-            p -> p.hd <= {cfg.phash_hamming_max})))
-        """
-    )
-    pairs_within = (
-        buckets.select(F.explode(pair_expr).alias("p"))
-        .select("p.id_l", "p.id_r")
-    )
-
-    # chain sub-bucket representatives of each hot band so a genuinely
-    # all-matching hot band (exact-duplicate flood) stays connected even
-    # when two members never co-locate in a sub-bucket; chain edges pass
-    # the same feasibility gate (an infeasible chain edge could never
-    # verify, so dropping it loses nothing)
-    reps = buckets.where(F.col("n_salts") > 1).select(
-        "band_key", "salt", F.element_at("mem", 1).alias("rep")
-    )
-    wchain = Window.partitionBy("band_key").orderBy("salt")
-    chain = (
-        reps.withColumn("nxt", F.lead("rep").over(wchain))
-        .where(
-            F.col("nxt").isNotNull()
-            & (F.col("rep.image_id") != F.col("nxt.image_id"))
-            & (
-                F.bit_count(
-                    F.col("rep.phash").bitwiseXOR(F.col("nxt.phash"))
-                )
-                <= F.lit(cfg.phash_hamming_max)
-            )
-        )
-        .select(
-            F.least("rep.image_id", "nxt.image_id").alias("id_l"),
-            F.greatest("rep.image_id", "nxt.image_id").alias("id_r"),
-        )
-    )
-
-    pairs = (
-        pairs_within.unionByName(chain)
-        .distinct()  # one shuffle on the pair key; AQE coalesces the output
+    # ONE exchange total (see operators/banded.py for the full shape): the
+    # Hamming feasibility gate runs in-partition, in codegen, BEFORE the
+    # distinct shuffle — the quadratic tail of random band-key collisions
+    # (measured 17.4M of 17.4M pairs at 240k images) is never shuffled.
+    pairs, band_stats = banded_pairs(
+        band_keys(signatures, cfg),
+        id_col="image_id",
+        payload_cols=("phash",),
+        gate=f"bit_count({{l}}.phash ^ {{r}}.phash) <= {cfg.phash_hamming_max}",
+        max_band_size=cfg.max_band_size,
+        shuffle_partitions=cfg.shuffle_partitions,
     )
     return pairs, band_stats

@@ -5,13 +5,21 @@ the same LSH machinery re-targeted at a plain `documents(doc_id, text, ...)`
 table — the operator set a large-scale training-data pipeline needs:
 
   exact_dedup          hash-groupBy on normalized text (pure SQL, md5)
-  minhash_lsh_pairs    shingle -> MinHash -> band -> bucket self-join
-  simhash_pairs        64-bit SimHash, banded by pigeonhole chunks
+  minhash_lsh_pairs    shingle -> MinHash -> band -> salted in-partition
+                       pair expansion (operators/banded.py)
+  simhash_pairs        64-bit md5 SimHash — pure Catalyst (NO Python UDF),
+                       banded by pigeonhole chunks through the same salted
+                       kernel, and DuckDB-replayable bit for bit
   ngram_jaccard_pairs  exact character-n-gram Jaccard via a gram join
                        (pure SQL — the DuckDB-checkable near-dup oracle)
   dedup_clusters       connected components over any pair set -> keep/drop
 
-All declarative where possible; Python only inside Arrow-batched pandas UDFs.
+Skew policy: every banded self-join here routes through
+operators/banded.banded_pairs — hot buckets (duplicate floods: boilerplate,
+empty strings, error pages that share every band) are sub-salted to
+O(m * max_band_size) pair volume with representative chaining for
+connectivity, never O(m^2).  All declarative where possible; Python only
+inside Arrow-batched pandas UDFs (MinHash signatures).
 """
 
 from __future__ import annotations
@@ -21,8 +29,8 @@ from pyspark.sql import functions as F
 
 from customer_er_spark.config import ERConfig
 from customer_er_spark.functions.minhash import make_minhash_udf
-from customer_er_spark.functions.simhash import simhash_udf
 from customer_er_spark.functions.text import normalize_caption
+from customer_er_spark.operators.banded import banded_pairs
 from customer_er_spark.operators.components import connected_components
 
 
@@ -50,23 +58,10 @@ def minhash_signatures(
     ).withColumn("minhash", mh(F.col("text_norm")))
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    cfg: ERConfig | None = None,
-    jaccard_min: float = 0.5,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Near-dup candidate pairs via MinHash LSH, verified by the signature
-    Jaccard estimate: (id_l, id_r, jacc)."""
-    cfg = cfg or ERConfig()
-    # persist: the signature is referenced three times (banding + both join
-    # sides); without it the pandas UDF recomputes per reference.  In the
-    # checkpointed pipeline (plans/pipeline.py) the catalog write plays this
-    # role durably.  Unpersisted below after the eager materialization of
-    # the (small) pair output, so a long-lived session does not accumulate
-    # cached blocks across queries.
-    sig = minhash_signatures(docs, cfg, id_col, text_col).persist()
+def minhash_band_keys(sig: DataFrame, cfg: ERConfig) -> DataFrame:
+    """(doc_id, band_key): one row per (doc, band); the wide minhash array
+    is projected AWAY here — pairs are gated and deduplicated on 8-byte
+    keys first, signatures join back after (verify-shuffle-width lesson)."""
     keys = [
         F.xxhash64(
             F.lit(b),
@@ -77,16 +72,37 @@ def minhash_lsh_pairs(
         )
         for b in range(cfg.bands)
     ]
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*keys)).alias("band_key")
-    ).repartition(cfg.shuffle_partitions, "band_key")
-    left = bands.select("band_key", F.col("doc_id").alias("id_l"))
-    right = bands.select("band_key", F.col("doc_id").alias("id_r"))
-    pairs = (
-        left.join(right, "band_key")
-        .where(F.col("id_l") < F.col("id_r"))
-        .select("id_l", "id_r")
-        .distinct()
+    return sig.select("doc_id", F.explode(F.array(*keys)).alias("band_key"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    cfg: ERConfig | None = None,
+    jaccard_min: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup candidate pairs via MinHash LSH, verified by the signature
+    Jaccard estimate: (id_l, id_r, jacc).
+
+    Scale shape: band rows -> banded_pairs (ONE exchange, in-partition pair
+    expansion, hot-band sub-salting with representative chaining, distinct)
+    -> join the 128-long signatures back onto the (small) distinct pair set
+    for the Jaccard-estimate verify.  A duplicate flood of m identical docs
+    costs O(m * max_band_size) pairs, not O(m^2)."""
+    cfg = cfg or ERConfig()
+    # persist: the signature is referenced three times (banding + both join
+    # sides); without it the pandas UDF recomputes per reference.  In the
+    # checkpointed pipeline (plans/pipeline.py) the catalog write plays this
+    # role durably.  Unpersisted below after the eager materialization of
+    # the (small) pair output, so a long-lived session does not accumulate
+    # cached blocks across queries.
+    sig = minhash_signatures(docs, cfg, id_col, text_col).persist()
+    pairs, _stats = banded_pairs(
+        minhash_band_keys(sig, cfg),
+        id_col="doc_id",
+        max_band_size=cfg.max_band_size,
+        shuffle_partitions=cfg.shuffle_partitions,
     )
     sl = sig.select(F.col("doc_id").alias("id_l"), F.col("minhash").alias("mh_l"))
     sr = sig.select(F.col("doc_id").alias("id_r"), F.col("minhash").alias("mh_r"))
@@ -112,48 +128,164 @@ def minhash_lsh_pairs(
     return out
 
 
+# ---------------------------------------------------------------------------
+# SimHash — md5-based, pure Catalyst, DuckDB-replayable
+# ---------------------------------------------------------------------------
+#
+# Token hash = first 16 hex chars (64 bits) of md5(token); bit i of the
+# token hash (i = 4*(p-1) + b for hex-digit position p in 1..16, bit b in
+# 0..3) votes +1/-1; the document's SimHash bit i is 1 iff the vote sum is
+# positive.  The hash is carried as two non-negative 32-bit halves
+# (sim_lo = bits 0..31, sim_hi = bits 32..63) so every expression stays
+# inside plain BIGINT arithmetic in BOTH engines — no 64-bit sign games.
+# Spark and DuckDB evaluate the *same* generated scalar SQL, so the oracle
+# can never drift from the operator.
+
+_HEX = "0123456789abcdef"
+
+
+def _simhash_bit_sql(p: int, b: int, instr_fn: str) -> str:
+    """SQL for bit b of hex digit p of md5 column `m` (0/1)."""
+    return f"(({instr_fn}('{_HEX}', substring(m, {p}, 1)) - 1) >> {b}) & 1"
+
+
+def _simhash_half_sql(bits: range, instr_fn: str) -> str:
+    """SQL assembling SimHash bits `bits` (absolute indices) into one
+    non-negative 32-bit half from the vote-count columns c_<i>."""
+    terms = [
+        f"(CASE WHEN c_{i} > 0 THEN {1 << (i - bits.start)} ELSE 0 END)"
+        for i in bits
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _simhash_vote_sqls(instr_fn: str) -> list[str]:
+    """64 aggregate SQL strings: c_<i> = sum over tokens of (2*bit_i - 1)."""
+    out = []
+    for i in range(64):
+        p, b = i // 4 + 1, i % 4
+        out.append(
+            f"sum(2 * ({_simhash_bit_sql(p, b, instr_fn)}) - 1) AS c_{i}"
+        )
+    return out
+
+
+def simhash_sql(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, sim_hi, sim_lo): 64-bit md5 SimHash as two uint32-valued
+    BIGINT halves — pure Catalyst (explode + md5 + 64 codegen aggregates),
+    no Python in the path.  Docs with empty normalized text are excluded
+    (no tokens -> no signature)."""
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            normalize_caption(F.col(text_col)).alias("t"),
+        )
+        .where(F.length("t") > 0)
+        .select("doc_id", F.explode(F.split("t", " ")).alias("tk"))
+        .select("doc_id", F.md5("tk").alias("m"))
+    )
+    votes = toks.groupBy("doc_id").agg(
+        *[F.expr(s) for s in _simhash_vote_sqls("instr")]
+    )
+    return votes.select(
+        "doc_id",
+        F.expr(_simhash_half_sql(range(32, 64), "instr")).alias("sim_hi"),
+        F.expr(_simhash_half_sql(range(0, 32), "instr")).alias("sim_lo"),
+    )
+
+
+def simhash_oracle_sql(
+    hamming_max: int = 6, table: str = "documents"
+) -> str:
+    """DuckDB replay of simhash_pairs: same generated bit expressions, then
+    a brute-force O(n^2) self-join (the oracle does not band — pigeonhole
+    banding with chunks > hamming_max finds exactly this set)."""
+    norm = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+    votes = ",\n               ".join(_simhash_vote_sqls("strpos"))
+    hi = _simhash_half_sql(range(32, 64), "strpos")
+    lo = _simhash_half_sql(range(0, 32), "strpos")
+    return f"""
+        WITH d AS (SELECT doc_id, {norm} AS t FROM {table}),
+        tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tk
+                FROM d WHERE length(t) > 0),
+        md AS (SELECT doc_id, md5(tk) AS m FROM tok),
+        votes AS (SELECT doc_id,
+               {votes}
+               FROM md GROUP BY doc_id),
+        sim AS (SELECT doc_id, {hi} AS sim_hi, {lo} AS sim_lo FROM votes)
+        SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+               CAST(bit_count(xor(a.sim_hi, b.sim_hi))
+                    + bit_count(xor(a.sim_lo, b.sim_lo)) AS INT) AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sim_hi, b.sim_hi))
+              + bit_count(xor(a.sim_lo, b.sim_lo)) <= {hamming_max}
+    """
+
+
 def simhash_pairs(
     docs: DataFrame,
     hamming_max: int = 6,
     chunks: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_band_size: int = 256,
+    shuffle_partitions: int = 32,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: banded by pigeonhole on `chunks` equal
-    slices (guaranteed recall for Hamming <= chunks-1), verified by full
-    64-bit Hamming <= hamming_max.  Pure SQL after the hash UDF."""
-    sig = docs.select(
-        F.col(id_col).alias("doc_id"),
-        simhash_udf(normalize_caption(F.col(text_col))).alias("simhash"),
-    )
-    bits = 64 // chunks
-    mask = (1 << bits) - 1
-    keys = [
-        F.xxhash64(
-            F.lit(c),
-            F.shiftrightunsigned("simhash", c * bits).bitwiseAND(F.lit(mask)),
+    """Near-dup pairs by SimHash: (id_l, id_r, hamming).
+
+    Banded by pigeonhole on `chunks` equal slices — any pair within Hamming
+    distance chunks-1 shares at least one clean chunk, so with
+    hamming_max <= chunks - 1 the banded result EQUALS the brute-force set
+    (which is what simhash_oracle_sql checks).  Pairs route through the
+    salted kernel (operators/banded.py): the full 64-bit Hamming gate runs
+    in-partition before the distinct, and hot chunks (a flood of identical
+    texts collides in every chunk) degrade to O(m * max_band_size)."""
+    if 64 % chunks or 32 % (64 // chunks):
+        raise ValueError("chunks must be one of 2, 4, 8, 16, 32, 64")
+    if hamming_max > chunks - 1:
+        raise ValueError(
+            f"hamming_max {hamming_max} exceeds the pigeonhole guarantee of "
+            f"{chunks} chunks (recall only assured up to {chunks - 1})"
         )
-        for c in range(chunks)
-    ]
-    bands = sig.select(
-        "doc_id", "simhash", F.explode(F.array(*keys)).alias("band_key")
-    )
-    left = bands.select(
-        "band_key", F.col("doc_id").alias("id_l"), F.col("simhash").alias("sh_l")
-    )
-    right = bands.select(
-        "band_key", F.col("doc_id").alias("id_r"), F.col("simhash").alias("sh_r")
-    )
-    return (
-        left.join(right, "band_key")
-        .where(F.col("id_l") < F.col("id_r"))
-        .select(
-            "id_l",
-            "id_r",
-            F.bit_count(F.col("sh_l").bitwiseXOR(F.col("sh_r"))).alias("hamming"),
+    sim = simhash_sql(docs, id_col, text_col)
+    cb = 64 // chunks
+    mask = (1 << cb) - 1
+    keys = []
+    for c in range(chunks):
+        lo_bit = c * cb
+        half = F.col("sim_lo") if lo_bit < 32 else F.col("sim_hi")
+        shift = lo_bit if lo_bit < 32 else lo_bit - 32
+        keys.append(
+            F.xxhash64(
+                F.lit(c),
+                F.shiftrightunsigned(half, shift).bitwiseAND(F.lit(mask)),
+            )
         )
-        .where(F.col("hamming") <= hamming_max)
-        .distinct()
+    bands = sim.select(
+        "doc_id", "sim_hi", "sim_lo", F.explode(F.array(*keys)).alias("band_key")
+    )
+    gate = (
+        f"(bit_count({{l}}.sim_hi ^ {{r}}.sim_hi) "
+        f"+ bit_count({{l}}.sim_lo ^ {{r}}.sim_lo)) <= {hamming_max}"
+    )
+    pairs, _stats = banded_pairs(
+        bands,
+        id_col="doc_id",
+        payload_cols=("sim_hi", "sim_lo"),
+        gate=gate,
+        max_band_size=max_band_size,
+        shuffle_partitions=shuffle_partitions,
+        emit_payload=True,
+    )
+    return pairs.select(
+        "id_l",
+        "id_r",
+        (
+            F.bit_count(F.col("sim_hi_l").bitwiseXOR(F.col("sim_hi_r")))
+            + F.bit_count(F.col("sim_lo_l").bitwiseXOR(F.col("sim_lo_r")))
+        ).cast("int").alias("hamming"),
     )
 
 
@@ -171,6 +303,46 @@ def ngram_grams(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFram
         )
         .select("doc_id", F.substring(F.col("t"), F.col("g"), n).alias("gram"))
         .distinct()
+    )
+
+
+def exact_jaccard_for_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram-set Jaccard for an EXISTING candidate pair set:
+    (id_l, id_r, n_inter, n_union).  Pure SQL (gram sets + array_intersect)
+    so DuckDB can replay the same values; cost is bounded by the candidate
+    count, not n^2."""
+    gram_sets = ngram_grams(docs, n, id_col, text_col).groupBy("doc_id").agg(
+        F.collect_list("gram").alias("gset"), F.count("*").alias("n_grams")
+    )
+    return (
+        pairs.select("id_l", "id_r")
+        .join(
+            gram_sets.select(
+                F.col("doc_id").alias("id_l"),
+                F.col("gset").alias("gs_l"),
+                F.col("n_grams").alias("sz_l"),
+            ),
+            "id_l",
+        )
+        .join(
+            gram_sets.select(
+                F.col("doc_id").alias("id_r"),
+                F.col("gset").alias("gs_r"),
+                F.col("n_grams").alias("sz_r"),
+            ),
+            "id_r",
+        )
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("gs_l", "gs_r")).cast("long")
+        )
+        .withColumn("n_union", F.col("sz_l") + F.col("sz_r") - F.col("n_inter"))
+        .select("id_l", "id_r", "n_inter", "n_union")
     )
 
 
@@ -256,30 +428,8 @@ def ngram_jaccard_pairs(
         .select("id_l", "id_r")
         .distinct()
     )
-    gram_sets = grams.groupBy("doc_id").agg(
-        F.collect_list("gram").alias("gset"), F.count("*").alias("n_grams")
-    )
     return (
-        cand.join(
-            gram_sets.select(
-                F.col("doc_id").alias("id_l"),
-                F.col("gset").alias("gs_l"),
-                F.col("n_grams").alias("sz_l"),
-            ),
-            "id_l",
-        )
-        .join(
-            gram_sets.select(
-                F.col("doc_id").alias("id_r"),
-                F.col("gset").alias("gs_r"),
-                F.col("n_grams").alias("sz_r"),
-            ),
-            "id_r",
-        )
-        .withColumn(
-            "n_inter", F.size(F.array_intersect("gs_l", "gs_r")).cast("long")
-        )
-        .withColumn("n_union", F.col("sz_l") + F.col("sz_r") - F.col("n_inter"))
+        exact_jaccard_for_pairs(cand, docs, n, id_col, text_col)
         .withColumn("jacc", F.col("n_inter") / F.col("n_union"))
         .where(F.col("jacc") >= jaccard_min)
         .select("id_l", "id_r", "n_inter", "n_union", "jacc")

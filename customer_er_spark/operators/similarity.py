@@ -12,8 +12,12 @@ Two paths, same result contract (query_id, neighbor_id, cos, rank):
                      tests.
 
 At 10^12 scale brute force is O(n^2) and exists as the correctness oracle;
-the LSH path shuffles each vector to b bucket keys and joins within bucket
-(same banding machinery as the dedup engine).
+the LSH path shuffles each vector's ID to b bucket keys and expands pairs
+through the engine's salted kernel (operators/banded.py): hot buckets
+(e.g. a zero-vector or boilerplate-embedding flood that lands every row in
+one bucket) degrade to O(m * max_bucket_size) candidate volume instead of
+going quadratic, and the wide embedding arrays are joined back only onto
+the (small) distinct candidate set — never shuffled with the bucket rows.
 """
 
 from __future__ import annotations
@@ -98,9 +102,20 @@ def lsh_topk(
     seed: int = 17,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int = 256,
+    shuffle_partitions: int = 32,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane buckets (n_tables independent
-    tables of n_planes bits), candidates = same bucket in any table."""
+    tables of n_planes bits), candidates = same bucket in any table.
+
+    Hot buckets are sub-salted through operators/banded.banded_pairs (a
+    degenerate bucket — zero vectors, boilerplate embeddings — stays
+    O(m * max_bucket_size)); recall tolerates the per-bucket sampling
+    because candidates only need to survive in ONE of the n_tables
+    independent tables.  Only (id, bucket) rows are shuffled; vectors join
+    back onto the distinct candidate pairs."""
+    from customer_er_spark.operators.banded import banded_pairs
+
     planes = hyperplane_keys(dim, n_planes, n_tables, seed)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
@@ -117,31 +132,42 @@ def lsh_topk(
     base = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
     ).withColumn("nrm", F.sqrt(_norm2_unrolled("vec", dim)))
-    # persist: bucket keys feed both sides of the self-join; unpersisted
-    # below after the (small) top-k output is materialized.
-    buckets = base.withColumn(
-        "bucket", F.explode(bucket_udf(F.col("vec")))
-    ).persist()
-    l = buckets.select(
-        "bucket",
+    # persist: referenced by the banding pass and both verify join sides;
+    # unpersisted after the (small) top-k output is materialized.
+    base = base.persist()
+    bands = base.select(
+        "vid", F.explode(bucket_udf(F.col("vec"))).alias("band_key")
+    )
+    upairs, _stats = banded_pairs(
+        bands,
+        id_col="vid",
+        max_band_size=max_bucket_size,
+        shuffle_partitions=shuffle_partitions,
+    )
+    # candidates are directed (each member of a pair queries the other)
+    cand = upairs.select(
+        F.col("id_l").alias("query_id"), F.col("id_r").alias("neighbor_id")
+    ).unionAll(
+        upairs.select(
+            F.col("id_r").alias("query_id"), F.col("id_l").alias("neighbor_id")
+        )
+    )
+    q = base.select(
         F.col("vid").alias("query_id"),
         F.col("vec").alias("qv"),
         F.col("nrm").alias("qn"),
     )
-    r = buckets.select(
-        "bucket",
+    c = base.select(
         F.col("vid").alias("neighbor_id"),
         F.col("vec").alias("cv"),
         F.col("nrm").alias("cn"),
     )
-    cand = (
-        l.join(r, "bucket")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn")
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    scored = cand.withColumn(
-        "cos", _dot_unrolled("qv", "cv", dim) / (F.col("qn") * F.col("cn"))
+    scored = (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .withColumn(
+            "cos", _dot_unrolled("qv", "cv", dim) / (F.col("qn") * F.col("cn"))
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -151,5 +177,5 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
     ).localCheckpoint(eager=True)  # n*k rows — small
-    buckets.unpersist()
+    base.unpersist()
     return out
