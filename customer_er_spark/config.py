@@ -15,6 +15,40 @@ import hashlib
 import json
 from dataclasses import asdict, dataclass, field
 
+# Structured-field MatchTypes (reference parity: Zingg FieldDefinition,
+# /root/reference/02_Initial_Workflow_Part_A.py:113-136 enumerates EXACT /
+# EMAIL / PINCODE / NUMERIC / NULL_OR_BLANK / ONLY_ALPHABETS_EXACT /
+# DONT_USE among others).  Each type is a pure-SQL similarity term in
+# [0, 1] folded into verify_pairs' score (operators/verify.py:field_sim) —
+# no UDFs, NULL semantics per type:
+#   EXACT                 null-safe equality (both-null matches)
+#   ONLY_ALPHABETS_EXACT  equality after stripping non-letters + lowercase
+#   EMAIL                 equality of the lowercased local part before '@'
+#   PINCODE               equality of the digits only
+#   NUMERIC_TOL           |l - r| <= tol after double cast (both-null = 1)
+#   NULL_OR_BLANK         a null/blank side never penalizes (sim 1.0);
+#                         both present -> exact equality
+#   DONT_USE              carried through, never scored
+MATCH_TYPES = (
+    "EXACT", "ONLY_ALPHABETS_EXACT", "EMAIL", "PINCODE",
+    "NUMERIC_TOL", "NULL_OR_BLANK", "DONT_USE",
+)
+
+
+@dataclass(frozen=True)
+class FieldDef:
+    """One structured metadata column to fold into pair scoring."""
+    column: str
+    match_type: str = "EXACT"
+    weight: float = 1.0
+    tol: float = 0.0  # NUMERIC_TOL only: absolute tolerance
+
+    def __post_init__(self) -> None:
+        if self.match_type not in MATCH_TYPES:
+            raise ValueError(
+                f"match_type {self.match_type!r} not in {MATCH_TYPES}"
+            )
+
 
 @dataclass(frozen=True)
 class ERConfig:
@@ -69,6 +103,14 @@ class ERConfig:
                                  # operators/candidates.py skew policy).
     shuffle_partitions: int = 32
     cc_checkpoint_every: int = 3  # connected-components lineage truncation
+
+    # --- structured-field scoring (FieldDef list; see MATCH_TYPES above) ----
+    # when non-empty, score = (w_caption*caption_sim + w_image*image_sim
+    #   + sum(f.weight * field_sim_f)) / (w_caption + w_image + sum weights)
+    # — normalized so score stays in [0, 1] and the link accept/review
+    # thresholds keep their meaning; is_match (the cluster-edge gate) is
+    # unchanged, fields move borderline pairs across the LINK thresholds.
+    fields: tuple = ()
 
     # --- invariants ----------------------------------------------------------
     psnr_min_db: float = 40.0    # lossy decode invariant

@@ -438,6 +438,15 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             raise ValueError("restart intervals unsupported")
         elif marker == 0xDA:  # SOS
             ns = payload[0]
+            if ns != len(comps):
+                # the entropy loop below assumes ONE fully interleaved scan
+                # covering all SOF components; a non-interleaved baseline
+                # file (one SOS per component) would decode as garbage, so
+                # honor the module contract: clear error, never guess
+                raise ValueError(
+                    f"non-interleaved scan unsupported ({ns} of "
+                    f"{len(comps)} components in SOS)"
+                )
             for si in range(ns):
                 cs, tt = payload[1 + 2 * si], payload[2 + 2 * si]
                 idx = next(i for i, c in enumerate(comps) if c[0] == cs)

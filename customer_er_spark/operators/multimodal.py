@@ -3,15 +3,18 @@
 Images/audio/video ride as `binary` columns; every transform is an
 Arrow-batched mapInPandas operator with a real schema, partitioning story,
 and batch shape.  Image decoders are real (customer_er_spark.codecs:
-png/raw/qpng plus a pure-numpy baseline JPEG); audio/video formats needing
-external libs (mp3, wav, mp4, webm) are STUBBED behind NotImplementedError
-— their Spark-side plumbing is what's tested.
+png/raw/qpng plus a pure-numpy baseline JPEG), and WAV PCM audio is real
+(customer_er_spark.audio, pure stdlib); formats needing external libs
+(mp3, mp4, webm) are STUBBED behind NotImplementedError — their Spark-side
+plumbing is what's tested.
 
 Operators:
   decode_meta      bytes -> (ok, height, width, channels, mean_luma)
   resize_images    bytes -> re-encoded bytes at new size (area resampling)
   image_features   bytes -> fixed-width float vector (luma histogram), the
                    embedding-extraction stand-in
+  audio_meta       bytes -> (ok, sample_rate, channels, n_samples,
+                   duration_s, rms) — WAV real, others poison-safe false
   frame_sample     stub for video: deterministic frame-index plan only
 """
 
@@ -26,7 +29,7 @@ from pyspark.sql import functions as F
 
 from customer_er_spark import codecs
 
-_STUB_FORMATS = {"mp3", "wav", "mp4", "webm"}
+_STUB_FORMATS = {"mp3", "mp4", "webm"}
 
 
 def _decode(data: bytes, fmt: str) -> np.ndarray:
@@ -107,6 +110,42 @@ def image_features(images: DataFrame, n_bins: int = 16) -> DataFrame:
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         op, schema="image_id string, features array<double>"
+    )
+
+
+def audio_meta(audio: DataFrame, id_col: str = "audio_id") -> DataFrame:
+    """bytes/fmt -> typed audio metadata.  WAV decodes for real
+    (customer_er_spark.audio.decode_wav); stubbed formats (mp3/mp4/webm)
+    and malformed payloads get ok=false, never a stage failure."""
+    from customer_er_spark.audio import decode_wav
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, data, fmt in zip(pdf[id_col], pdf.bytes, pdf.fmt):
+                try:
+                    if fmt != "wav":
+                        raise NotImplementedError(
+                            f"codec for {fmt!r} requires external libraries"
+                        )
+                    samples, rate = decode_wav(bytes(data))
+                    rows.append((
+                        aid, True, rate, samples.shape[1], samples.shape[0],
+                        samples.shape[0] / rate,
+                        float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))),
+                    ))
+                except Exception:
+                    rows.append((aid, False, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "ok", "sample_rate", "channels",
+                         "n_samples", "duration_s", "rms"],
+            )
+
+    return audio.select(F.col(id_col), "bytes", "fmt").mapInPandas(
+        op,
+        schema=f"{id_col} string, ok boolean, sample_rate int, channels int, "
+               "n_samples long, duration_s double, rms double",
     )
 
 

@@ -26,8 +26,11 @@ from customer_er_spark.functions.text import normalize_caption
 
 def compute_signatures(images: DataFrame, cfg: ERConfig) -> DataFrame:
     minhash_udf = make_minhash_udf(cfg.shingle_k, cfg.num_hashes, cfg.minhash_seed)
+    # structured FieldDef columns (small scalars) ride along so verify can
+    # score them; `bytes` and other wide columns still never pass this point
+    extra = [f.column for f in cfg.fields if f.column in images.columns]
     return (
-        images.select("image_id", "caption", "phash")
+        images.select("image_id", "caption", "phash", *extra)
         # explicit fan-out BEFORE the UDFs: a compact input (few parquet
         # files) otherwise yields few scan partitions and the signature
         # stage runs on a fraction of the cluster; hash-partitioning by

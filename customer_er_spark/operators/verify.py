@@ -26,28 +26,76 @@ lossless) on matched pairs when image bytes are supplied.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from customer_er_spark.config import ERConfig
+from customer_er_spark.config import ERConfig, FieldDef
 from customer_er_spark.functions.text import lcs_ratio_udf
 
 
-def _attach_sides(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
-    sig = signatures.select("image_id", "caption_norm", "phash", "minhash")
+def _attach_sides(
+    pairs: DataFrame, signatures: DataFrame, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    sig = signatures.select(
+        "image_id", "caption_norm", "phash", "minhash", *extra_cols
+    )
     left = sig.select(
         F.col("image_id").alias("id_l"),
         F.col("caption_norm").alias("cap_l"),
         F.col("phash").alias("phash_l"),
         F.col("minhash").alias("mh_l"),
+        *[F.col(c).alias(f"{c}_l") for c in extra_cols],
     )
     right = sig.select(
         F.col("image_id").alias("id_r"),
         F.col("caption_norm").alias("cap_r"),
         F.col("phash").alias("phash_r"),
         F.col("minhash").alias("mh_r"),
+        *[F.col(c).alias(f"{c}_r") for c in extra_cols],
     )
     return pairs.join(left, "id_l").join(right, "id_r")
+
+
+def field_sim(fd: FieldDef) -> Column:
+    """[0,1] similarity for one structured field — pure Catalyst SQL over
+    the attached <column>_l / <column>_r sides (reference parity: Zingg
+    FieldDefinition MatchTypes, 02_Initial_Workflow_Part_A.py:113-136).
+    NULL semantics per type are documented on config.MATCH_TYPES."""
+    l, r = F.col(f"{fd.column}_l"), F.col(f"{fd.column}_r")
+    one, zero = F.lit(1.0), F.lit(0.0)
+    if fd.match_type == "EXACT":
+        return F.when(l.eqNullSafe(r), one).otherwise(zero)
+    if fd.match_type == "ONLY_ALPHABETS_EXACT":
+        def alpha(c):
+            return F.regexp_replace(F.lower(c.cast("string")), "[^a-z]", "")
+        return F.when(alpha(l).eqNullSafe(alpha(r)), one).otherwise(zero)
+    if fd.match_type == "EMAIL":
+        def local(c):
+            return F.lower(F.split(c.cast("string"), "@").getItem(0))
+        return F.when(local(l).eqNullSafe(local(r)), one).otherwise(zero)
+    if fd.match_type == "PINCODE":
+        def digits(c):
+            return F.regexp_replace(c.cast("string"), "[^0-9]", "")
+        return F.when(digits(l).eqNullSafe(digits(r)), one).otherwise(zero)
+    if fd.match_type == "NUMERIC_TOL":
+        ld, rd = l.cast("double"), r.cast("double")
+        return (
+            F.when(ld.isNull() & rd.isNull(), one)
+            .when(
+                ld.isNotNull()
+                & rd.isNotNull()
+                & (F.abs(ld - rd) <= F.lit(fd.tol)),
+                one,
+            )
+            .otherwise(zero)
+        )
+    if fd.match_type == "NULL_OR_BLANK":
+        def blank(c):
+            return c.isNull() | (F.trim(c.cast("string")) == "")
+        return F.when(blank(l) | blank(r), one).otherwise(
+            F.when(l.eqNullSafe(r), one).otherwise(zero)
+        )
+    raise ValueError(f"unscorable match_type {fd.match_type!r}")
 
 
 def verify_pairs(
@@ -99,8 +147,13 @@ def verify_pairs(
     passed = ph.where(F.col("hamming") <= F.lit(cfg.phash_hamming_max))
     failed = ph.where(F.col("hamming") > F.lit(cfg.phash_hamming_max))
 
-    # attach captions + MinHash arrays ONLY to gate survivors
-    base = _attach_sides(passed, signatures).withColumn(
+    # attach captions + MinHash arrays ONLY to gate survivors (plus any
+    # structured FieldDef columns — small scalars, scored in pure SQL)
+    active_fields = tuple(
+        f for f in cfg.fields if f.match_type != "DONT_USE"
+    )
+    extra_cols = tuple(f.column for f in active_fields)
+    base = _attach_sides(passed, signatures, extra_cols).withColumn(
         "jacc",
         F.aggregate(
             F.zip_with(
@@ -143,8 +196,19 @@ def verify_pairs(
         .withColumn(
             "score",
             F.round(
-                F.lit(cfg.w_caption) * F.col("caption_sim")
-                + F.lit(cfg.w_image) * F.col("image_sim"),
+                (
+                    F.lit(cfg.w_caption) * F.col("caption_sim")
+                    + F.lit(cfg.w_image) * F.col("image_sim")
+                    + sum(
+                        (F.lit(f.weight) * field_sim(f) for f in active_fields),
+                        start=F.lit(0.0),
+                    )
+                )
+                / F.lit(
+                    cfg.w_caption
+                    + cfg.w_image
+                    + sum(f.weight for f in active_fields)
+                ),
                 6,
             ),
         )

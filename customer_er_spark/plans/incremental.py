@@ -136,19 +136,29 @@ def run_link(
     `link_candidates`, `link_edges` (real (prior, incoming, score) edges),
     `linked` (reference-shaped) and `link_decisions` tables.
 
-    `run_key` (e.g. a streaming batch id) makes the run idempotent: if the
-    committed incoming_signatures manifest already carries this run_key at
-    the same config, the whole link is a resume — a crashed-and-replayed
-    micro-batch never recomputes or double-writes."""
+    `run_key` (e.g. a streaming batch id) makes the run idempotent: every
+    link output manifest is stamped with {run_key, incoming_signatures
+    snapshot}, and the run resumes ONLY when the FINAL output
+    (link_decisions) already carries this batch's run_key against the
+    current incoming_signatures snapshot.  Mere table existence is not
+    enough: a crash after the incoming_signatures commit but before the
+    downstream commits leaves a STALE link_decisions from the previous
+    batch, and resuming on it would merge the new batch using the old
+    batch's decisions (lost links, duplicate edges)."""
     cfg = cfg or ERConfig()
     ch = cfg.config_hash()
     if run_key is not None:
         meta = catalog.table_meta("incoming_signatures")
+        dec = catalog.table_meta("link_decisions")
         if (
             meta is not None
             and meta.get("inputs", {}).get("run_key") == run_key
             and meta.get("config_hash") == ch
-            and catalog.table_meta("link_decisions") is not None
+            and dec is not None
+            and dec.get("config_hash") == ch
+            and dec.get("inputs", {}).get("run_key") == run_key
+            and dec.get("inputs", {}).get("incoming_signatures")
+            == meta.get("snapshot_id")
         ):
             return _link_summary(catalog, resumed=True)
 
@@ -159,13 +169,21 @@ def run_link(
         inputs={"run_key": run_key or ""},
     )
     inc_sig = catalog.read_table("incoming_signatures")
+    link_inputs = {
+        "run_key": run_key or "",
+        "incoming_signatures": catalog.snapshot_id("incoming_signatures") or "",
+    }
 
     # checkpoint candidates through the catalog: the bipartite band join
     # executes exactly once (the write action); verify reads the committed
     # parquet and the summary count comes free from the manifest.
     raw_pairs, link_band_stats = link_pairs(priors_sig, inc_sig, cfg)
-    catalog.write_table(link_band_stats, "link_band_stats", config_hash=ch)
-    catalog.write_table(raw_pairs, "link_candidates", config_hash=ch)
+    catalog.write_table(
+        link_band_stats, "link_band_stats", config_hash=ch, inputs=link_inputs
+    )
+    catalog.write_table(
+        raw_pairs, "link_candidates", config_hash=ch, inputs=link_inputs
+    )
     pairs = catalog.read_table("link_candidates")
 
     both_sig = priors_sig.unionByName(inc_sig)
@@ -180,7 +198,7 @@ def run_link(
     link_edges = scored.join(
         members.withColumnRenamed("image_id", "id_l"), "id_l"
     ).select(*VERIFY_COLS, "cluster_id")
-    catalog.write_table(link_edges, "link_edges", config_hash=ch)
+    catalog.write_table(link_edges, "link_edges", config_hash=ch, inputs=link_inputs)
     linked_raw = catalog.read_table("link_edges")
 
     # reference-shaped `linked` output: one row per record per link group,
@@ -202,7 +220,7 @@ def run_link(
         F.lit("incoming").alias("z_source"),
     )
     linked = prior_rows.unionByName(incoming_rows)
-    catalog.write_table(linked, "linked", config_hash=ch)
+    catalog.write_table(linked, "linked", config_hash=ch, inputs=link_inputs)
 
     # decision rules (03:283-288 made executable): per incoming record rank
     # candidate clusters by best score; accept a clear single winner at/above
@@ -240,7 +258,9 @@ def run_link(
             .otherwise(F.lit("reject")),
         )
     )
-    catalog.write_table(decisions, "link_decisions", config_hash=ch)
+    catalog.write_table(
+        decisions, "link_decisions", config_hash=ch, inputs=link_inputs
+    )
     return _link_summary(catalog, resumed=False)
 
 
@@ -262,13 +282,27 @@ def run_incremental_match(
 
     Every append manifest records the incoming_signatures snapshot id; a
     replay of the same increment skips appends that already carry it
-    (exactly-once under foreachBatch replay)."""
+    (exactly-once under foreachBatch replay).  The fences are consulted
+    BEFORE any compute: a fully-applied replay is O(1) — no candidate
+    generation, no verify, no CC (round-2 advice: the old shape paid the
+    full within-incoming match cost on every replay)."""
     cfg = cfg or ERConfig()
     ch = cfg.config_hash()
 
     inc_sig = catalog.read_table("incoming_signatures")
     inc_snap = catalog.snapshot_id("incoming_signatures") or ""
     lineage = {"incoming_signatures": inc_snap}
+
+    # replay fast-path: if every merge target already carries this
+    # increment's lineage, the whole merge is already applied — return the
+    # recorded summary without touching candidates/verify/CC.
+    if all(
+        (catalog.table_meta(t) or {}).get("inputs") == lineage
+        for t in ("cluster_members", "verified_pairs", "signatures")
+    ):
+        saved = catalog.get_state(f"incr_summary::{inc_snap}")
+        if saved is not None:
+            return {**saved, "resumed": True}
 
     def append_once(build_df, table: str) -> dict:
         meta = catalog.table_meta(table)
@@ -373,9 +407,16 @@ def run_incremental_match(
         .withColumn("datetime", F.current_timestamp())
     )
     catalog.write_table(clusters, "clusters", config_hash=ch)
-    return {
+    # the durable CC working table served its purpose once the appends
+    # committed — drop it (mirrors pipeline.py's drop of cc_edges) so the
+    # last increment's edge snapshot doesn't linger in the catalog forever
+    catalog.drop_table("cc_edges_incremental")
+    summary = {
         "incoming": catalog.table_meta("incoming_signatures")["counts"]["rows_out"],
         "accepted_into_registry": n_accepted,
         "new_cluster_records": n_new,
         "total_members": m_members["counts"]["rows_out"],
     }
+    # recorded so a replayed (fully-applied) increment can answer in O(1)
+    catalog.set_state(f"incr_summary::{inc_snap}", summary)
+    return summary

@@ -84,6 +84,47 @@ def exact_dedup_stream(
     )
 
 
+FENCE = "last_stream_batch_id"
+BOOTSTRAP = "bootstrap_batch_id"
+
+
+def process_registry_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    catalog: SparkCatalog,
+    cfg: ERConfig,
+) -> None:
+    """One micro-batch of the registry ingest (module-level so the
+    crash/replay fences are unit-testable outside a live stream); the
+    exactly-once story is documented on stream_images_to_registry."""
+    from customer_er_spark.plans.incremental import (
+        run_incremental_match,
+        run_link,
+    )
+    from customer_er_spark.plans.pipeline import run_initial
+
+    if batch_df.isEmpty():
+        return
+    last = catalog.get_state(FENCE, -1)
+    if batch_id <= last:
+        return  # replayed batch, already fully applied
+    if catalog.table_meta("cluster_members") is None:
+        catalog.set_state(BOOTSTRAP, batch_id)
+        run_initial(spark, batch_df, catalog, cfg)
+    elif catalog.get_state(BOOTSTRAP) == batch_id:
+        # replay of the bootstrap batch after a crash between run_initial's
+        # commits and the fence: resume run_initial (stage snapshots make
+        # this a no-op) — never the link path, which would link the batch
+        # against a registry built from these very records (self-pairs,
+        # double-appended image_ids)
+        run_initial(spark, batch_df, catalog, cfg)
+    else:
+        run_link(spark, batch_df, catalog, cfg, run_key=f"batch-{batch_id}")
+        run_incremental_match(spark, batch_df, catalog, cfg)
+    catalog.set_state(FENCE, batch_id)
+
+
 def stream_images_to_registry(
     spark: SparkSession,
     source_dir: str,
@@ -108,28 +149,18 @@ def stream_images_to_registry(
       3. every merge append records the incoming_signatures snapshot it
          applied, so a replayed merge skips tables it already touched
          (no duplicate image_ids even when the crash landed between the
-         catalog commits and the streaming checkpoint commit).
+         catalog commits and the streaming checkpoint commit);
+      4. the BOOTSTRAP batch id is recorded in catalog state before
+         run_initial commits anything: if the process dies after
+         run_initial's commits but before the batch fence lands, the
+         replayed bootstrap batch re-enters run_initial (whose per-stage
+         snapshots make it a pure resume) instead of falling into the
+         incremental path and linking the batch against a registry built
+         from the very same records (which would verify self-pairs and
+         double-append every image_id).
     """
-    from customer_er_spark.plans.incremental import (
-        run_incremental_match,
-        run_link,
-    )
-    from customer_er_spark.plans.pipeline import run_initial
-
-    FENCE = "last_stream_batch_id"
-
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        last = catalog.get_state(FENCE, -1)
-        if batch_id <= last:
-            return  # replayed batch, already fully applied
-        if catalog.table_meta("cluster_members") is None:
-            run_initial(spark, batch_df, catalog, cfg)
-        else:
-            run_link(spark, batch_df, catalog, cfg, run_key=f"batch-{batch_id}")
-            run_incremental_match(spark, batch_df, catalog, cfg)
-        catalog.set_state(FENCE, batch_id)
+        process_registry_batch(spark, batch_df, batch_id, catalog, cfg)
 
     stream = (
         spark.readStream.schema(IMAGES_SCHEMA)

@@ -133,3 +133,55 @@ def test_jpeg_rejects_unsupported_modes(rng):
         jpeg_decode(bytes(data))
     with pytest.raises(ValueError, match="SOI"):
         jpeg_decode(b"not a jpeg at all")
+
+
+def test_wav_roundtrip_exact(rng):
+    from customer_er_spark.audio import decode_wav, encode_wav
+
+    t = np.arange(4410)
+    stereo = np.stack(
+        [
+            (10000 * np.sin(2 * np.pi * 440 * t / 44100)).astype(np.int64),
+            (rng.integers(-32768, 32768, len(t))).astype(np.int64),
+        ],
+        axis=1,
+    )
+    blob = encode_wav(stereo, 44100)
+    samples, rate = decode_wav(blob)
+    assert rate == 44100 and samples.shape == (4410, 2)
+    assert (samples == stereo).all()  # 16-bit PCM roundtrip is bit-exact
+    # deterministic encoder: same samples -> same bytes
+    assert encode_wav(samples, rate) == blob
+    with pytest.raises(Exception):
+        decode_wav(b"RIFFnot really a wav")
+
+
+def test_jpeg_rejects_non_interleaved_scan(rng):
+    from customer_er_spark.jpeg import jpeg_decode, jpeg_encode
+
+    data = bytearray(jpeg_encode(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)))
+    sos = data.find(b"\xff\xda")
+    assert sos > 0
+    # claim a 1-component scan in a 3-component SOF (non-interleaved file);
+    # must be rejected, not silently decoded as garbage
+    data[sos + 4] = 1
+    with pytest.raises(ValueError, match="non-interleaved"):
+        jpeg_decode(bytes(data))
+
+
+def test_audio_meta_operator(spark, rng):
+    from customer_er_spark.audio import encode_wav
+    from customer_er_spark.operators.multimodal import audio_meta
+
+    mono = (1000 * np.sin(np.linspace(0, 40, 8000))).astype(np.int64)[:, None]
+    rows = [
+        ("w1", bytearray(encode_wav(mono, 8000)), "wav"),
+        ("w2", bytearray(b"garbage bytes"), "wav"),
+        ("m1", bytearray(b"\xff\xfb fake mp3"), "mp3"),
+    ]
+    df = spark.createDataFrame(rows, "audio_id string, bytes binary, fmt string")
+    out = {r["audio_id"]: r for r in audio_meta(df).collect()}
+    ok = out["w1"]
+    assert ok["ok"] and ok["sample_rate"] == 8000 and ok["channels"] == 1
+    assert ok["n_samples"] == 8000 and ok["duration_s"] == 1.0 and ok["rms"] > 0
+    assert not out["w2"]["ok"] and not out["m1"]["ok"]

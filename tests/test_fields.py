@@ -1,0 +1,86 @@
+"""Structured-field (FieldDefinition) scoring — reference parity for the
+per-field MatchTypes of /root/reference/02_Initial_Workflow_Part_A.py:113-136,
+implemented as pure-SQL score terms (config.FieldDef + verify.field_sim)."""
+
+from __future__ import annotations
+
+import pytest
+
+from customer_er_spark.config import ERConfig, FieldDef
+from customer_er_spark.operators.verify import verify_pairs
+
+CFG_KW = dict(num_hashes=4, bands=2, rows_per_band=2, shuffle_partitions=4)
+
+
+def _sig(spark, meta_rows):
+    """Two records, identical captions (caption_sim=1.0), hamming 8
+    (image_sim=0.875) -> base score 0.9375; `meta_rows` supplies the
+    structured column values."""
+    rows = [
+        ("a", "same caption", 0, [1, 2, 3, 4], meta_rows[0]),
+        ("b", "same caption", 255, [1, 2, 3, 4], meta_rows[1]),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "image_id string, caption_norm string, phash long, "
+        "minhash array<long>, email string",
+    )
+
+
+def _score(spark, cfg, meta_rows):
+    pairs = spark.createDataFrame([("a", "b")], "id_l string, id_r string")
+    out = verify_pairs(pairs, _sig(spark, meta_rows), cfg).collect()
+    assert len(out) == 1
+    return out[0]
+
+
+def test_field_flips_borderline_link_decision(spark):
+    # without fields: score 0.9375 >= match_threshold 0.8 (accept-grade)
+    base_cfg = ERConfig(**CFG_KW)
+    r0 = _score(spark, base_cfg, ["x@a.com", "y@b.com"])
+    assert r0["score"] == pytest.approx(0.9375)
+    assert r0["score"] >= base_cfg.match_threshold
+
+    # an EMAIL field (weight 1) disagreeing drags the same pair to
+    # (0.9375 + 0) / 2 = 0.46875 — below even the review threshold
+    cfg = ERConfig(**CFG_KW, fields=(FieldDef("email", "EMAIL"),))
+    r1 = _score(spark, cfg, ["jane@a.com", "jane.b@b.com"])
+    assert r1["score"] == pytest.approx(0.46875)
+    assert r1["score"] < cfg.review_threshold
+
+    # agreeing local part ('jane@x.com' vs 'JANE@y.org') lifts it back:
+    # (0.9375 + 1) / 2 = 0.96875 — EMAIL compares the local part only
+    r2 = _score(spark, cfg, ["jane@x.com", "JANE@y.org"])
+    assert r2["score"] == pytest.approx(0.96875)
+    assert r2["score"] >= cfg.match_threshold
+    # is_match (the cluster-edge gate) is field-independent
+    assert r1["is_match"] and r2["is_match"]
+
+
+def test_numeric_tol_and_null_or_blank(spark):
+    cfg = ERConfig(
+        **CFG_KW,
+        fields=(
+            FieldDef("email", "NUMERIC_TOL", weight=1.0, tol=0.5),
+        ),
+    )
+    # |3.2 - 3.6| = 0.4 <= 0.5 -> field sim 1.0
+    assert _score(spark, cfg, ["3.2", "3.6"])["score"] == pytest.approx(0.96875)
+    # |3.2 - 4.0| > 0.5 -> 0.0
+    assert _score(spark, cfg, ["3.2", "4.0"])["score"] == pytest.approx(0.46875)
+
+    nb = ERConfig(**CFG_KW, fields=(FieldDef("email", "NULL_OR_BLANK"),))
+    # a blank side never penalizes
+    assert _score(spark, nb, ["anything", None])["score"] == pytest.approx(0.96875)
+    assert _score(spark, nb, ["same", "same"])["score"] == pytest.approx(0.96875)
+    assert _score(spark, nb, ["one", "two"])["score"] == pytest.approx(0.46875)
+
+
+def test_dont_use_and_config_hash(spark):
+    cfg = ERConfig(**CFG_KW, fields=(FieldDef("email", "DONT_USE"),))
+    # DONT_USE fields are carried but never scored: base score unchanged
+    assert _score(spark, cfg, ["x", "y"])["score"] == pytest.approx(0.9375)
+    # field configs version the model: different fields -> different hash
+    assert cfg.config_hash() != ERConfig(**CFG_KW).config_hash()
+    with pytest.raises(ValueError):
+        FieldDef("email", "FUZZY_NOPE")
