@@ -158,6 +158,44 @@ def main() -> None:
     }
     print(json.dumps(summary))
 
+    # host parallel-scaling ceiling (tools/host_ceiling.py), if measured:
+    # the pure-numpy denominator that bounds what ANY engine can show here
+    ceiling_md = ""
+    ceil_path = os.path.join(REPO, "bench_out", "host_ceiling.json")
+    if os.path.exists(ceil_path):
+        with open(ceil_path) as f:
+            ceil = json.load(f)
+        ks = ceil["kernels"]
+        mix_band = ks["bandwidth"]["mix"]["efficiency"]
+        mix_comp = ks["compute"]["mix"]["efficiency"]
+        alloc_eff = ks["bandwidth"]["alloc"]["efficiency"]
+        rel = round(eff / mix_band, 3) if mix_band else None
+        ceiling_md = f"""
+## Host parallel-scaling ceiling (pure numpy, no Spark — the measured
+denominator for the >= 0.8 target)
+
+`python tools/host_ceiling.py` runs an identical fixed-work fmix64 kernel
+in P={ceil['p_small']} vs P={ceil['p_big']} independent PROCESSES (no
+shuffle, no JVM, no shared state) and times two phases separately:
+
+| kernel (phase) | P={ceil['p_small']} best s | P={ceil['p_big']} best s | efficiency |
+|---|---|---|---|
+| compute, L2-resident (mix) | {ks['compute']['mix']['best_wall_small']} | {ks['compute']['mix']['best_wall_big']} | **{mix_comp}** |
+| DRAM streaming (mix) | {ks['bandwidth']['mix']['best_wall_small']} | {ks['bandwidth']['mix']['best_wall_big']} | **{mix_band}** |
+| DRAM streaming (alloc/first-touch) | {ks['bandwidth']['alloc']['best_wall_small']} | {ks['bandwidth']['alloc']['best_wall_big']} | **{alloc_eff}** |
+
+Reading: even PERFECT embarrassingly parallel work with zero allocation
+tops out at {mix_comp} (CPU-bound) / {mix_band} (memory-bound) efficiency
+on this box — the >= 0.8 target is above the machine's own memory-bound
+ceiling — and the concurrent page-fault path (which every Arrow batch,
+shuffle buffer, and fresh numpy allocation in a real engine exercises)
+collapses to {alloc_eff}.  Against the memory-bound ceiling, this engine's
+measured end-to-end efficiency of {eff:.3f} is **{rel} of what the host
+can deliver at all**.  On a real N-vs-4N-executor cluster each executor
+brings its OWN memory bus and page-fault capacity, which is precisely the
+resource this single box cannot add.
+"""
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     ts = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
     runs_table = "\n".join(
@@ -238,7 +276,7 @@ would not see; there is no network shuffle cost (which works in the
 opposite direction).  The job itself sizes shuffle partitions to the core
 count and relies on AQE coalesce + skew-join, i.e. the same knobs a real
 4N-executor cluster run would use.
-""")
+{ceiling_md}""")
     print("wrote BENCH/BASELINE.md", file=sys.stderr)
 
 
