@@ -141,12 +141,15 @@ def banded_pairs(
     gate_within = (
         " AND " + gate.format(l="p.l", r="p.r") if gate else ""
     )
+    # p.l.id != p.r.id: every current caller emits unique (id, band_key)
+    # rows, but a duplicate row would otherwise yield a self-pair — one
+    # codegen comparison buys the invariant for future callers
     pair_expr = F.expr(
         f"""
         flatten(transform(mem, (x, i) ->
           filter(
             transform(slice(mem, i + 2, size(mem)), y -> struct(x AS l, y AS r)),
-            p -> true{gate_within})))
+            p -> p.l.id != p.r.id{gate_within})))
         """
     )
     out_cols = [F.col("p.l.id").alias("id_l"), F.col("p.r.id").alias("id_r")]

@@ -230,39 +230,61 @@ def simhash_pairs(
     chunks: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_band_size: int = 256,
+    max_band_size: int = 1024,
     shuffle_partitions: int = 32,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: (id_l, id_r, hamming).
 
-    Banded by pigeonhole on `chunks` equal slices — any pair within Hamming
-    distance chunks-1 shares at least one clean chunk, so with
-    hamming_max <= chunks - 1 the banded result EQUALS the brute-force set
-    (which is what simhash_oracle_sql checks).  Pairs route through the
-    salted kernel (operators/banded.py): the full 64-bit Hamming gate runs
-    in-partition before the distinct, and hot chunks (a flood of identical
-    texts collides in every chunk) degrade to O(m * max_band_size)."""
+    max_band_size is 1024 here (vs 256 for the image pipeline): 2-chunk
+    SimHash keys on natural text still concentrate a few hundred documents
+    in the most popular chunk-value pairs (measured max 291 at sf0.1 —
+    skew, not duplication), and a 1024-member bucket costs at most ~0.5M
+    in-partition gated codegen comparisons — sub-second — while a genuine
+    flood (>> 1024 identical texts sharing ALL keys) still salts safely.
+
+    MULTI-INDEX pair-of-chunks banding (same scheme as the image pipeline's
+    pHash keys, candidates.band_keys / HmSearch-style): the 64-bit SimHash
+    splits into `chunks` equal slices and every unordered PAIR of chunks
+    forms one band key.  Pigeonhole: a pair within Hamming distance
+    chunks-2 keeps >= 2 clean chunks, so it shares at least one 2-chunk
+    key — with hamming_max <= chunks - 2 the banded result EQUALS the
+    brute-force set (which is what simhash_oracle_sql checks).
+
+    Why pairs of chunks and not single chunks: SimHash bit votes on natural
+    text are dominated by common tokens, so single 8-bit chunk values are
+    heavily SKEWED — buckets grow linearly with corpus size and the salted
+    kernel would degrade recall on perfectly ordinary corpora (measured at
+    sf0.1: single-chunk banding lost 8% of true pairs to salting).
+    2-chunk keys have 2^16 effective values — ~256x fewer random
+    collisions, buckets stay small on natural data, and salting engages
+    only for genuine duplicate floods (which share ALL keys and still
+    degrade safely to O(m * max_band_size) + chain connectivity).
+
+    The full 64-bit Hamming gate runs in-partition before the distinct, so
+    random 2-chunk collisions die in codegen without being shuffled."""
     if 64 % chunks or 32 % (64 // chunks):
         raise ValueError("chunks must be one of 2, 4, 8, 16, 32, 64")
-    if hamming_max > chunks - 1:
+    if hamming_max > chunks - 2:
         raise ValueError(
             f"hamming_max {hamming_max} exceeds the pigeonhole guarantee of "
-            f"{chunks} chunks (recall only assured up to {chunks - 1})"
+            f"{chunks} chunks in pairs (recall only assured up to {chunks - 2})"
         )
     sim = simhash_sql(docs, id_col, text_col)
     cb = 64 // chunks
     mask = (1 << cb) - 1
-    keys = []
-    for c in range(chunks):
+
+    def chunk(c: int):
         lo_bit = c * cb
         half = F.col("sim_lo") if lo_bit < 32 else F.col("sim_hi")
         shift = lo_bit if lo_bit < 32 else lo_bit - 32
-        keys.append(
-            F.xxhash64(
-                F.lit(c),
-                F.shiftrightunsigned(half, shift).bitwiseAND(F.lit(mask)),
-            )
-        )
+        return F.shiftrightunsigned(half, shift).bitwiseAND(F.lit(mask))
+
+    from itertools import combinations
+
+    keys = [
+        F.xxhash64(F.lit(ci), F.lit(cj), chunk(ci), chunk(cj))
+        for ci, cj in combinations(range(chunks), 2)
+    ]
     bands = sim.select(
         "doc_id", "sim_hi", "sim_lo", F.explode(F.array(*keys)).alias("band_key")
     )

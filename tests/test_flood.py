@@ -64,8 +64,9 @@ def test_simhash_flood_bounded_and_connected(spark, flood_docs):
         flood_docs, hamming_max=6, max_band_size=16, shuffle_partitions=8
     )
     n_pairs = pairs.count()
-    # 8 chunks * m * max_band_size / 2 + chains ~ 1.3e5
-    assert 0 < n_pairs <= 200_000, n_pairs
+    # C(8,2)=28 pair-of-chunk keys * m * max_band_size / 2 + chains ~ 4.5e5
+    # (vs C(m,2) = 2e6 unsalted)
+    assert 0 < n_pairs <= 600_000, n_pairs
     flood_pairs = pairs.where((F.col("id_l") < FLOOD_N) & (F.col("id_r") < FLOOD_N))
     assert flood_pairs.where(F.col("hamming") != 0).count() == 0
     clusters = dedup_clusters(
