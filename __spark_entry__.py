@@ -3,7 +3,7 @@
 `entry(spark)` runs the flagship near-duplicate clustering over the
 sf0.001 documents table; `queries()` exposes one callable per implemented
 operator from SURVEY.md §2 (+ the training-data-pipeline operator family);
-`oracle_sql()` gives the DuckDB-equivalent SQL for EVERY query (25/25).
+`oracle_sql()` gives the DuckDB-equivalent SQL for EVERY query (26/26).
 The three hash-randomized kernels (MinHash LSH, md5 SimHash, hyperplane
 ANN) are checked through deterministic compositions: exact-verified output
 that provably equals a SQL-computable set (minhash, simhash) or an
@@ -319,29 +319,26 @@ def q_embedding_topk(spark, sf):
     return brute_force_topk(_t(spark, sf, "embeddings"), k=5, dim=64)
 
 
-def q_embedding_topk_lsh(spark, sf):
-    """Property oracle for the hyperplane-LSH ANN path: emits VIOLATION
-    rows (expected: none) so DuckDB's empty relation is a real value check.
-    Three properties, each deterministic even though the LSH pair set is
-    hash-randomized:
+def _ann_violations(emb, ann, k: int, dim: int):
+    """Property oracle shared by the approximate-ANN paths (LSH, IVF):
+    emits VIOLATION rows (expected: none) so DuckDB's empty relation is a
+    real value check.  Three properties, each deterministic even though the
+    approximate candidate set is hash-/quantizer-dependent:
       cos_mismatch  a returned cos != the exact cosine recomputed from the
                     parquet vectors for that (query, neighbor) pair;
       rank_order    rank isn't the dense row_number of the returned rows
                     ordered by (cos desc, neighbor asc);
-      dominance     the LSH rank-r cos exceeds the EXACT rank-r cos for the
-                    same query (impossible for a true subset of pairs).
+      dominance     the approximate rank-r cos exceeds the EXACT rank-r cos
+                    for the same query (impossible for a true subset).
     Any unsound pair, wrong score, or broken ranking produces a row and
     fails the hash compare."""
     from customer_er_spark.operators.similarity import (
         _dot_unrolled,
         _norm2_unrolled,
         brute_force_topk,
-        lsh_topk,
     )
 
-    emb = _t(spark, sf, "embeddings")
-    k, dim = 5, 64
-    lsh = lsh_topk(emb, k=k, dim=dim)
+    lsh = ann
     base = emb.select(
         F.col("vec_id").alias("vid"), F.col("embedding").alias("vec")
     ).withColumn("nrm", F.sqrt(_norm2_unrolled("vec", dim)))
@@ -400,6 +397,24 @@ def q_embedding_topk_lsh(spark, sf):
     return viol_cos.unionByName(viol_rank).unionByName(viol_dom)
 
 
+def q_embedding_topk_lsh(spark, sf):
+    # hyperplane-LSH ANN checked by _ann_violations (expected-empty)
+    from customer_er_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return _ann_violations(emb, lsh_topk(emb, k=5, dim=64), k=5, dim=64)
+
+
+def q_embedding_topk_ivf(spark, sf):
+    # IVF (k-means inverted file) ANN, same expected-empty property oracle
+    from customer_er_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return _ann_violations(
+        emb, ivf_topk(emb, k=5, dim=64, n_centroids=16, n_probe=4), k=5, dim=64
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dup_histogram": q_dup_histogram,
@@ -427,6 +442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "embedding_topk": q_embedding_topk,
         "embedding_topk_lsh": q_embedding_topk_lsh,
+        "embedding_topk_ivf": q_embedding_topk_ivf,
     }
 
 
@@ -503,6 +519,16 @@ def _lang_id_sql() -> str:
             SELECT doc_id, {case} AS lang_pred
             FROM (SELECT *, {greatest} AS m FROM sc)
     """
+
+
+_ANN_EMPTY_ORACLE = """
+    SELECT CAST(NULL AS BIGINT) AS query_id,
+           CAST(NULL AS BIGINT) AS neighbor_id,
+           CAST(NULL AS VARCHAR) AS kind,
+           CAST(NULL AS DOUBLE) AS lsh_cos,
+           CAST(NULL AS DOUBLE) AS exact_cos
+    WHERE 1 = 0
+"""
 
 
 def _simhash_oracle() -> str:
@@ -700,17 +726,12 @@ def oracle_sql() -> dict[str, str]:
         # simhash_pairs — DuckDB replays the SAME generated md5-SimHash bit
         # expressions brute-force; pigeonhole banding finds the same set;
         "simhash_pairs": _simhash_oracle(),
-        # embedding_topk_lsh — violations query: expected-empty relation
-        # with a typed schema (cos/rank/dominance checks run Spark-side
-        # against exact recomputation; any failure emits a row).
-        "embedding_topk_lsh": """
-            SELECT CAST(NULL AS BIGINT) AS query_id,
-                   CAST(NULL AS BIGINT) AS neighbor_id,
-                   CAST(NULL AS VARCHAR) AS kind,
-                   CAST(NULL AS DOUBLE) AS lsh_cos,
-                   CAST(NULL AS DOUBLE) AS exact_cos
-            WHERE 1 = 0
-        """,
+        # embedding_topk_lsh / embedding_topk_ivf — violations queries:
+        # expected-empty relation with a typed schema (cos/rank/dominance
+        # checks run Spark-side against exact recomputation; any failure
+        # emits a row).
+        "embedding_topk_lsh": _ANN_EMPTY_ORACLE,
+        "embedding_topk_ivf": _ANN_EMPTY_ORACLE,
     }
 
 

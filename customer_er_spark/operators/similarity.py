@@ -10,6 +10,12 @@ Two paths, same result contract (query_id, neighbor_id, cos, rank):
                      vectors) restrict the candidate set; same scoring.
                      Probabilistic recall, measured against brute force in
                      tests.
+  ivf_topk           scale path #2: IVF (inverted-file) — deterministic
+                     Lloyd k-means coarse quantizer, queries probe their
+                     n_probe nearest cells, exact re-scoring within the
+                     probed cells.  The standard layout for billion-vector
+                     ANN (FAISS-style), complementary to LSH: recall is
+                     controlled by n_probe instead of table count.
 
 At 10^12 scale brute force is O(n^2) and exists as the correctness oracle;
 the LSH path shuffles each vector's ID to b bucket keys and expands pairs
@@ -177,5 +183,160 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
     ).localCheckpoint(eager=True)  # n*k rows — small
+    base.unpersist()
+    return out
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 64,
+    dim: int = 64,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic Lloyd k-means coarse quantizer: (n_centroids, dim).
+
+    Init = the vectors with the n_centroids smallest ids (stable across
+    runs and partitionings — no RNG).  Each iteration: assignment via an
+    Arrow-batched argmin kernel, then the centroid update as a pure
+    DataFrame aggregation (posexplode -> groupBy(cell, pos) -> avg).  Only
+    the (n_centroids x dim) centroid table ever reaches the driver — the
+    same "scalar model state" exception as connected components'
+    convergence signature, NOT a data collect."""
+    base = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    )
+    init = base.orderBy("vid").limit(n_centroids).collect()
+    cents = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in init])
+    if cents.shape[0] < n_centroids:
+        n_centroids = cents.shape[0]
+
+    for _ in range(iters):
+        assign = _assign_cells_udf(cents)
+        assigned = base.withColumn("cell", assign(F.col("vec")))
+        sums = (
+            assigned.select("cell", F.posexplode("vec").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = cents.copy()
+        acc = np.zeros((n_centroids, cents.shape[1]))
+        cnt = np.zeros(n_centroids)
+        for r in sums:
+            acc[r["cell"], r["pos"]] += r["s"]
+            cnt[r["cell"]] = r["n"]
+        nonempty = cnt > 0
+        new[nonempty] = acc[nonempty] / cnt[nonempty, None]
+        if np.allclose(new, cents, atol=1e-12):
+            break
+        cents = new
+    return cents
+
+
+def _assign_cells_udf(cents: np.ndarray):
+    """pandas UDF: vector -> nearest centroid id (squared-L2 argmin,
+    vectorized over the Arrow batch)."""
+    c = cents.copy()
+    c2 = (c * c).sum(axis=1)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        # ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2; ||v||^2 constant per row
+        d = -2.0 * (m @ c.T) + c2[None, :]
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    return assign
+
+
+def _probe_cells_udf(cents: np.ndarray, n_probe: int):
+    """pandas UDF: vector -> its n_probe nearest centroid ids."""
+    c = cents.copy()
+    c2 = (c * c).sum(axis=1)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        d = -2.0 * (m @ c.T) + c2[None, :]
+        idx = np.argsort(d, axis=1)[:, :n_probe]
+        return pd.Series([row.astype(np.int32).tolist() for row in idx])
+
+    return probe
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    iters: int = 5,
+    cell_cap: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF: (query_id, neighbor_id, cos, rank).
+
+    Every vector is assigned to its nearest k-means cell (the inverted
+    file); each query probes its n_probe nearest cells and re-scores the
+    members EXACTLY (same unrolled-IEEE cosine as brute_force_topk, so
+    every returned value is exact — only the candidate set is approximate).
+
+    Scale shape: the (id, cell) assignment is 12 bytes/row; vectors join
+    back onto the candidate pairs only.  Expected cell size is n/n_centroids
+    — pick n_centroids ~ sqrt(n) so both the probe fan-out and the cell
+    scan stay O(sqrt(n)) per query.  Degenerate cells (a flood of identical
+    vectors quantizes to ONE cell) are capped at cell_cap members by a
+    deterministic hash ranking — each query still sees >= cell_cap
+    candidates from that cell (documented recall trade, same policy as the
+    salted LSH kernel; for top-k a capped flood cell still fills all k
+    slots with exact duplicates)."""
+    cents = kmeans_centroids(embeddings, n_centroids, dim, iters, id_col, vec_col)
+    base = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).withColumn("nrm", F.sqrt(_norm2_unrolled("vec", dim)))
+    base = base.persist()
+
+    assigned = base.withColumn("cell", _assign_cells_udf(cents)(F.col("vec")))
+    # cap degenerate cells: deterministic hash ranking, bounded members
+    wcell = Window.partitionBy("cell").orderBy(F.xxhash64("vid"), F.col("vid"))
+    members = (
+        assigned.withColumn("rn", F.row_number().over(wcell))
+        .where(F.col("rn") <= cell_cap)
+        .select("cell", F.col("vid").alias("neighbor_id"))
+    )
+    probes = base.select(
+        F.col("vid").alias("query_id"),
+        F.explode(_probe_cells_udf(cents, n_probe)(F.col("vec"))).alias("cell"),
+    )
+    cand = (
+        probes.join(members, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = base.select(
+        F.col("vid").alias("query_id"), F.col("vec").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = base.select(
+        F.col("vid").alias("neighbor_id"), F.col("vec").alias("cv"), F.col("nrm").alias("cn")
+    )
+    scored = (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .withColumn(
+            "cos", _dot_unrolled("qv", "cv", dim) / (F.col("qn") * F.col("cn"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    ).localCheckpoint(eager=True)
     base.unpersist()
     return out

@@ -322,3 +322,52 @@ def test_jpeg_decode_meta_and_invariant(spark):
     assert len(meta) == 8 and all(r["ok"] for r in meta)
     violations = check_decode_invariant(images, ERConfig()).collect()
     assert violations == [], violations
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, embeddings):
+    from customer_er_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    bf = brute_force_topk(embeddings, k=5, dim=64)
+    approx = ivf_topk(embeddings, k=5, dim=64, n_centroids=8, n_probe=5)
+    hits = bf.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+    total = bf.count()
+    recall = hits / total
+    # the synthetic embeddings are near-orthogonal random vectors (no real
+    # cluster structure — the hardest case for a coarse quantizer); same
+    # bar as the LSH recall test
+    assert recall >= 0.75, recall
+    # every returned cos is the EXACT cosine (only the candidate set is
+    # approximate): joining on (query, neighbor) must agree on cos
+    joined = approx.join(
+        bf.select("query_id", "neighbor_id", F.col("cos").alias("bf_cos")),
+        ["query_id", "neighbor_id"],
+    )
+    assert joined.where(F.col("cos") != F.col("bf_cos")).count() == 0
+
+
+def test_ivf_kmeans_deterministic(spark, embeddings):
+    from customer_er_spark.operators.similarity import kmeans_centroids
+
+    c1 = kmeans_centroids(embeddings, n_centroids=8, dim=64, iters=3)
+    c2 = kmeans_centroids(
+        embeddings.repartition(7), n_centroids=8, dim=64, iters=3
+    )
+    assert np.allclose(c1, c2)  # partitioning-independent quantizer
+
+
+def test_ivf_vector_flood_capped(spark):
+    from customer_er_spark.operators.similarity import ivf_topk
+
+    n, dim, k = 1200, 16, 5
+    vec = [float((i * 7) % 5 - 2) or 1.0 for i in range(dim)]
+    rows = [(i, vec) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # all vectors quantize to ONE cell; cell_cap bounds the candidate join
+    out = ivf_topk(
+        emb, k=k, dim=dim, n_centroids=4, n_probe=2, cell_cap=64
+    ).persist()
+    got = out.count()
+    assert out.where(F.col("cos") < 0.999999).count() == 0
+    # capped members still fill k slots for every query
+    assert got == n * k, got
+    out.unpersist()
