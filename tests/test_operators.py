@@ -371,3 +371,41 @@ def test_ivf_vector_flood_capped(spark):
     # capped members still fill k slots for every query
     assert got == n * k, got
     out.unpersist()
+
+
+def test_ivf_kmeans_trains_on_bounded_sample(spark, embeddings):
+    """The quantizer must cost O(1) Spark work: one count job + one sample
+    scan, independent of iters (round-3 verdict: the old trainer ran a full
+    assignment pass + a posexplode shuffle PER iteration)."""
+    from customer_er_spark.operators.similarity import kmeans_centroids
+
+    st = spark.sparkContext.statusTracker()
+    before = set(st.getJobIdsForGroup(None) or [])
+    kmeans_centroids(embeddings, n_centroids=8, dim=64, iters=25)
+    after = set(st.getJobIdsForGroup(None) or [])
+    n_jobs = len(after - before)
+    # count + sample-collect (AQE may add a tiny final-stage job); 25 Lloyd
+    # iterations must NOT multiply Spark jobs
+    assert n_jobs <= 4, f"quantizer training ran {n_jobs} Spark jobs"
+
+
+def test_ivf_kmeans_sample_cap(spark, embeddings):
+    """max_train bounds the driver-side sample while staying deterministic
+    and partitioning-independent."""
+    from customer_er_spark.operators.similarity import kmeans_centroids
+
+    c1 = kmeans_centroids(embeddings, n_centroids=8, dim=64, max_train=200)
+    c2 = kmeans_centroids(
+        embeddings.repartition(13), n_centroids=8, dim=64, max_train=200
+    )
+    assert np.allclose(c1, c2)
+    assert c1.shape == (8, 64)
+
+
+def test_ivf_ragged_vector_fails_loudly(spark):
+    from customer_er_spark.operators.similarity import kmeans_centroids
+
+    rows = [(0, [1.0] * 16), (1, [2.0] * 16), (2, [3.0] * 12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="dim=16"):
+        kmeans_centroids(emb, n_centroids=2, dim=16)
