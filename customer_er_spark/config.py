@@ -16,22 +16,38 @@ import json
 from dataclasses import asdict, dataclass, field
 
 # Structured-field MatchTypes (reference parity: Zingg FieldDefinition,
-# /root/reference/02_Initial_Workflow_Part_A.py:113-136 enumerates EXACT /
-# EMAIL / PINCODE / NUMERIC / NULL_OR_BLANK / ONLY_ALPHABETS_EXACT /
-# DONT_USE among others).  Each type is a pure-SQL similarity term in
-# [0, 1] folded into verify_pairs' score (operators/verify.py:field_sim) —
-# no UDFs, NULL semantics per type:
+# /root/reference/02_Initial_Workflow_Part_A.py:113-136 enumerates FUZZY /
+# EXACT / EMAIL / PINCODE / NUMERIC / NUMERIC_WITH_UNITS / NULL_OR_BLANK /
+# TEXT / ONLY_ALPHABETS_EXACT / ONLY_ALPHABETS_FUZZY / DONT_USE; FUZZY x4
+# is the only configuration the reference actually runs, 02A:132-136).
+# Each type is a pure-SQL similarity term in [0, 1] folded into
+# verify_pairs' score (operators/verify.py:field_sim) — no UDFs, NULL
+# semantics per type:
 #   EXACT                 null-safe equality (both-null matches)
+#   FUZZY                 graded similarity: character-3-gram Jaccard over
+#                         lowercased/trimmed strings (exact equality -> 1;
+#                         strings too short for grams fall back to
+#                         equality; both-null = 1, one-null = 0) — pure
+#                         Catalyst higher-order array functions, no UDF.
+#                         LCS escalation stays caption-only by design: a
+#                         metadata scalar is short enough that gram
+#                         Jaccard is already the right-cost signal.
 #   ONLY_ALPHABETS_EXACT  equality after stripping non-letters + lowercase
+#   ONLY_ALPHABETS_FUZZY  FUZZY after stripping non-letters + lowercase
+#   TEXT                  word-token Jaccard (whitespace tokens) — the
+#                         free-text twin of FUZZY for multi-word fields
 #   EMAIL                 equality of the lowercased local part before '@'
 #   PINCODE               equality of the digits only
 #   NUMERIC_TOL           |l - r| <= tol after double cast (both-null = 1)
+#   NUMERIC_WITH_UNITS    NUMERIC_TOL on the leading numeric value after
+#                         stripping a unit suffix ("12.5 kg" -> 12.5)
 #   NULL_OR_BLANK         a null/blank side never penalizes (sim 1.0);
 #                         both present -> exact equality
 #   DONT_USE              carried through, never scored
 MATCH_TYPES = (
-    "EXACT", "ONLY_ALPHABETS_EXACT", "EMAIL", "PINCODE",
-    "NUMERIC_TOL", "NULL_OR_BLANK", "DONT_USE",
+    "EXACT", "FUZZY", "ONLY_ALPHABETS_EXACT", "ONLY_ALPHABETS_FUZZY",
+    "TEXT", "EMAIL", "PINCODE", "NUMERIC_TOL", "NUMERIC_WITH_UNITS",
+    "NULL_OR_BLANK", "DONT_USE",
 )
 
 

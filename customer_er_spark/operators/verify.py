@@ -56,19 +56,80 @@ def _attach_sides(
     return pairs.join(left, "id_l").join(right, "id_r")
 
 
+def _set_jaccard(gl: Column, gr: Column) -> Column:
+    """|A ∩ B| / |A ∪ B| for two distinct-element array columns."""
+    inter = F.size(F.array_intersect(gl, gr)).cast("double")
+    return inter / ((F.size(gl) + F.size(gr)).cast("double") - inter)
+
+
+def _grams3(c: Column) -> Column:
+    """Distinct character trigrams of a string column (length >= 3 only —
+    callers guard shorter strings).  Pure Catalyst: sequence + transform
+    + substr, evaluated in whole-stage codegen."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - 2),
+            lambda i: c.substr(i, F.lit(3)),
+        )
+    )
+
+
+def _fuzzy_sim(ln: Column, rn: Column) -> Column:
+    """Graded string similarity (FUZZY family): trigram-set Jaccard over
+    pre-normalized sides; strings too short for a trigram fall back to
+    equality; both-null = 1, one-null = 0 (same null contract as
+    NUMERIC_TOL).  CASE branches are lazy, so the gram path never sees a
+    short string (sequence() would flip to a descending range)."""
+    one, zero = F.lit(1.0), F.lit(0.0)
+    return (
+        F.when(ln.isNull() & rn.isNull(), one)
+        .when(ln.isNull() | rn.isNull(), zero)
+        .when(
+            (F.length(ln) < 3) | (F.length(rn) < 3),
+            F.when(ln == rn, one).otherwise(zero),
+        )
+        .otherwise(_set_jaccard(_grams3(ln), _grams3(rn)))
+    )
+
+
 def field_sim(fd: FieldDef) -> Column:
     """[0,1] similarity for one structured field — pure Catalyst SQL over
     the attached <column>_l / <column>_r sides (reference parity: Zingg
-    FieldDefinition MatchTypes, 02_Initial_Workflow_Part_A.py:113-136).
-    NULL semantics per type are documented on config.MATCH_TYPES."""
+    FieldDefinition MatchTypes, 02_Initial_Workflow_Part_A.py:113-136;
+    FUZZY is the only type the reference's own config exercises,
+    02A:132-136).  NULL semantics per type are documented on
+    config.MATCH_TYPES."""
     l, r = F.col(f"{fd.column}_l"), F.col(f"{fd.column}_r")
     one, zero = F.lit(1.0), F.lit(0.0)
     if fd.match_type == "EXACT":
         return F.when(l.eqNullSafe(r), one).otherwise(zero)
+    if fd.match_type == "FUZZY":
+        def norm(c):
+            return F.lower(F.trim(c.cast("string")))
+        return _fuzzy_sim(norm(l), norm(r))
     if fd.match_type == "ONLY_ALPHABETS_EXACT":
         def alpha(c):
             return F.regexp_replace(F.lower(c.cast("string")), "[^a-z]", "")
         return F.when(alpha(l).eqNullSafe(alpha(r)), one).otherwise(zero)
+    if fd.match_type == "ONLY_ALPHABETS_FUZZY":
+        def alpha(c):
+            return F.regexp_replace(F.lower(c.cast("string")), "[^a-z]", "")
+        return _fuzzy_sim(alpha(l), alpha(r))
+    if fd.match_type == "TEXT":
+        # word-token Jaccard: the free-text twin of FUZZY; blank collapses
+        # to null so the null contract stays uniform
+        def toks(c):
+            s = F.nullif(
+                F.regexp_replace(F.lower(F.trim(c.cast("string"))), r"\s+", " "),
+                F.lit(""),
+            )
+            return F.when(s.isNotNull(), F.array_distinct(F.split(s, " ")))
+        tl, tr = toks(l), toks(r)
+        return (
+            F.when(tl.isNull() & tr.isNull(), one)
+            .when(tl.isNull() | tr.isNull(), zero)
+            .otherwise(_set_jaccard(tl, tr))
+        )
     if fd.match_type == "EMAIL":
         def local(c):
             return F.lower(F.split(c.cast("string"), "@").getItem(0))
@@ -77,8 +138,19 @@ def field_sim(fd: FieldDef) -> Column:
         def digits(c):
             return F.regexp_replace(c.cast("string"), "[^0-9]", "")
         return F.when(digits(l).eqNullSafe(digits(r)), one).otherwise(zero)
-    if fd.match_type == "NUMERIC_TOL":
-        ld, rd = l.cast("double"), r.cast("double")
+    if fd.match_type in ("NUMERIC_TOL", "NUMERIC_WITH_UNITS"):
+        if fd.match_type == "NUMERIC_WITH_UNITS":
+            # leading numeric value; a trailing unit suffix ("12.5 kg",
+            # "30mm") is ignored.  No-match extracts '' -> null cast.
+            def numval(c):
+                return F.regexp_extract(
+                    F.trim(c.cast("string")),
+                    r"^[-+]?[0-9]*\.?[0-9]+([eE][-+]?[0-9]+)?",
+                    0,
+                ).cast("double")
+            ld, rd = numval(l), numval(r)
+        else:
+            ld, rd = l.cast("double"), r.cast("double")
         return (
             F.when(ld.isNull() & rd.isNull(), one)
             .when(
@@ -204,10 +276,16 @@ def verify_pairs(
                         start=F.lit(0.0),
                     )
                 )
+                # normalize ONLY when fields are configured: a no-field
+                # config must keep the historical w_caption*cap +
+                # w_image*img scale exactly, even when the two weights do
+                # not sum to 1.0 (threshold semantics depend on it)
                 / F.lit(
                     cfg.w_caption
                     + cfg.w_image
                     + sum(f.weight for f in active_fields)
+                    if active_fields
+                    else 1.0
                 ),
                 6,
             ),

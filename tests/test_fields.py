@@ -84,3 +84,64 @@ def test_dont_use_and_config_hash(spark):
     assert cfg.config_hash() != ERConfig(**CFG_KW).config_hash()
     with pytest.raises(ValueError):
         FieldDef("email", "FUZZY_NOPE")
+
+
+def test_fuzzy_trigram_jaccard(spark):
+    cfg = ERConfig(**CFG_KW, fields=(FieldDef("email", "FUZZY"),))
+    # identical after lower/trim -> 1.0: (0.9375 + 1) / 2
+    assert _score(spark, cfg, ["  Acme Corp ", "acme corp"])["score"] == \
+        pytest.approx(0.96875)
+    # disjoint trigrams -> 0.0
+    assert _score(spark, cfg, ["abcdef", "uvwxyz"])["score"] == \
+        pytest.approx(0.46875)
+    # partial overlap: 'jonathan' vs 'jonathon' — grams of 8 chars = 6 each,
+    # shared {jon, ona, nat/ath...}: jon ona nat ath tha han | jon ona nat
+    # ath tho hon -> inter {jon, ona, nat, ath} = 4, union 8 -> 0.5
+    r = _score(spark, cfg, ["jonathan", "jonathon"])
+    assert r["score"] == pytest.approx((0.9375 + 0.5) / 2)
+    # short strings fall back to equality
+    assert _score(spark, cfg, ["ab", "ab"])["score"] == pytest.approx(0.96875)
+    assert _score(spark, cfg, ["ab", "ac"])["score"] == pytest.approx(0.46875)
+    # one null penalizes, both null matches (NUMERIC_TOL contract)
+    assert _score(spark, cfg, ["x-ray", None])["score"] == pytest.approx(0.46875)
+    assert _score(spark, cfg, [None, None])["score"] == pytest.approx(0.96875)
+
+
+def test_fuzzy_flips_borderline_link_decision(spark):
+    """The reference's own config is FUZZY x4 (02A:132-136): a fuzzy
+    metadata column must be able to move a borderline pair across the link
+    accept threshold."""
+    cfg = ERConfig(**CFG_KW, fields=(FieldDef("email", "FUZZY", weight=1.0),))
+    near = _score(spark, cfg, ["jonathan smith llc", "jonathan smith inc"])
+    far = _score(spark, cfg, ["jonathan smith llc", "zzgrubworks ltd"])
+    assert near["score"] >= cfg.match_threshold, near["score"]
+    assert far["score"] < cfg.match_threshold, far["score"]
+
+
+def test_only_alphabets_fuzzy_and_text(spark):
+    oaf = ERConfig(**CFG_KW, fields=(FieldDef("email", "ONLY_ALPHABETS_FUZZY"),))
+    # digits/punct stripped before gramming: 'acme-123 corp' == 'ACME CORP.'
+    assert _score(spark, oaf, ["acme-123 corp", "ACME CORP."])["score"] == \
+        pytest.approx(0.96875)
+
+    txt = ERConfig(**CFG_KW, fields=(FieldDef("email", "TEXT"),))
+    # token sets {big,red,dog} vs {red,dog,big} -> 1.0
+    assert _score(spark, txt, ["big red dog", "red  dog BIG"])["score"] == \
+        pytest.approx(0.96875)
+    # {a,b} vs {b,c}: inter 1, union 3
+    assert _score(spark, txt, ["a b", "b c"])["score"] == \
+        pytest.approx((0.9375 + 1 / 3) / 2)
+
+
+def test_numeric_with_units(spark):
+    cfg = ERConfig(
+        **CFG_KW, fields=(FieldDef("email", "NUMERIC_WITH_UNITS", tol=0.5),)
+    )
+    assert _score(spark, cfg, ["12.5 kg", "12.4kg"])["score"] == \
+        pytest.approx(0.96875)
+    assert _score(spark, cfg, ["12.5 kg", "13.5 kg"])["score"] == \
+        pytest.approx(0.46875)
+    # unit text is ignored entirely (kg vs lb is a schema problem, not a
+    # similarity signal)
+    assert _score(spark, cfg, ["30mm", "30 in"])["score"] == \
+        pytest.approx(0.96875)
