@@ -256,26 +256,42 @@ def q_minhash_lsh_pairs(spark, sf):
     and not SQL-replayable, but this composition is: LSH recall at Jaccard
     0.9 with 32 bands x 4 rows is 1 - (1 - 0.9^4)^32 ~ 1 - 1e-15, so the
     output EQUALS the exact 5-gram-Jaccard>=0.9 pair set DuckDB computes —
-    a recall miss or an unsound candidate both break the value hash."""
+    a recall miss or an unsound candidate both break the value hash.
+
+    ORACLE-GATE CONFIG COUPLING: set-equality only holds when no band
+    degrades — the salted kernel intentionally samples within-bucket pairs
+    once a bucket exceeds max_band_size, which on a duplicate-flood corpus
+    would (by design) drop pairs the brute-force oracle keeps.  The gate
+    therefore runs with salting effectively off (max_band_size 2^30);
+    flood-mode behavior is covered by tests/test_flood.py instead."""
+    from dataclasses import replace
+
     from customer_er_spark.operators.dedup import (
         exact_jaccard_for_pairs,
         minhash_lsh_pairs,
     )
 
     docs = _t(spark, sf, "documents")
-    cand = minhash_lsh_pairs(docs, _CFG, jaccard_min=0.5)
+    cand = minhash_lsh_pairs(
+        docs, replace(_CFG, max_band_size=1 << 30), jaccard_min=0.5
+    )
     return exact_jaccard_for_pairs(cand, docs, n=_CFG.shingle_k).where(
         F.col("n_inter") * 10 >= F.col("n_union") * 9
     )
 
 
 def q_simhash_pairs(spark, sf):
-    # banded + salted in Spark; pigeonhole (8 chunks > hamming_max) makes
-    # the banded result equal DuckDB's brute-force replay of the SAME
-    # generated md5-SimHash bit expressions (operators/dedup.simhash_sql)
+    # banded in Spark; pigeonhole (8 chunks > hamming_max) makes the banded
+    # result equal DuckDB's brute-force replay of the SAME generated
+    # md5-SimHash bit expressions (operators/dedup.simhash_sql).
+    # Same oracle-gate coupling as q_minhash_lsh_pairs: set-equality
+    # requires zero degraded bands, so salting is effectively off here
+    # (max_band_size 2^30); flood behavior is tests/test_flood.py's job.
     from customer_er_spark.operators.dedup import simhash_pairs
 
-    return simhash_pairs(_t(spark, sf, "documents"), hamming_max=6)
+    return simhash_pairs(
+        _t(spark, sf, "documents"), hamming_max=6, max_band_size=1 << 30
+    )
 
 
 def q_dedup_clusters(spark, sf):
@@ -322,16 +338,27 @@ def q_embedding_topk(spark, sf):
 def _ann_violations(emb, ann, k: int, dim: int):
     """Property oracle shared by the approximate-ANN paths (LSH, IVF):
     emits VIOLATION rows (expected: none) so DuckDB's empty relation is a
-    real value check.  Three properties, each deterministic even though the
+    real value check.  Four properties, each deterministic even though the
     approximate candidate set is hash-/quantizer-dependent:
       cos_mismatch  a returned cos != the exact cosine recomputed from the
                     parquet vectors for that (query, neighbor) pair;
-      rank_order    rank isn't the dense row_number of the returned rows
-                    ordered by (cos desc, neighbor asc);
+      rank_order    tie-tolerant ranking check: per query, rank must be the
+                    dense sequence 1..n AND cos must be non-increasing in
+                    rank.  (Deliberately NOT a re-derivation of the order
+                    from the ROUNDED cos column: two cosines differing by
+                    < 1e-6 round equal and may legitimately sort either way
+                    by neighbor_id — the operator breaks such ties on the
+                    unrounded value, which this relation cannot see.)
       dominance     the approximate rank-r cos exceeds the EXACT rank-r cos
-                    for the same query (impossible for a true subset).
-    Any unsound pair, wrong score, or broken ranking produces a row and
-    fails the hash compare."""
+                    for the same query (impossible for a true subset);
+      coverage      NON-VACUITY, so an ANN operator returning zero (or too
+                    few) rows cannot pass by emptiness: every query that
+                    has >= k exact neighbors must return k rows.  Healthy
+                    at these sizes because the candidate fan-out (buckets x
+                    tables / probed cells) far exceeds k; the hashes are
+                    seeded, so the check is deterministic per dataset.
+    Any unsound pair, wrong score, broken ranking, or missing output
+    produces a row and fails the hash compare."""
     from customer_er_spark.operators.similarity import (
         _dot_unrolled,
         _norm2_unrolled,
@@ -366,12 +393,14 @@ def _ann_violations(emb, ann, k: int, dim: int):
         F.col("cos").alias("lsh_cos"),
         F.col("exact_cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rank").asc())
     viol_rank = (
         lsh.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") != F.col("rank"))
+        .withColumn("prev_cos", F.lag("cos").over(w))
+        .where(
+            (F.col("rn") != F.col("rank"))  # rank not dense 1..n
+            | (F.col("prev_cos") < F.col("cos"))  # cos increases with rank
+        )
         .select(
             "query_id",
             "neighbor_id",
@@ -394,7 +423,25 @@ def _ann_violations(emb, ann, k: int, dim: int):
             F.col("x_cos").alias("exact_cos"),
         )
     )
-    return viol_cos.unionByName(viol_rank).unionByName(viol_dom)
+    # coverage (non-vacuity): queries with >= k exact neighbors must return
+    # k rows; payload columns carry (returned, expected) counts
+    exact_full = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    ret_cnt = lsh.groupBy("query_id").agg(F.count("*").alias("n_ret"))
+    viol_cov = (
+        exact_full.where(F.col("n_exact") >= k)
+        .join(ret_cnt, "query_id", "left")
+        .where(F.coalesce("n_ret", F.lit(0)) < k)
+        .select(
+            "query_id",
+            F.lit(None).cast("long").alias("neighbor_id"),
+            F.lit("coverage").alias("kind"),
+            F.coalesce("n_ret", F.lit(0)).cast("double").alias("lsh_cos"),
+            F.lit(float(k)).alias("exact_cos"),
+        )
+    )
+    return (
+        viol_cos.unionByName(viol_rank).unionByName(viol_dom).unionByName(viol_cov)
+    )
 
 
 def q_embedding_topk_lsh(spark, sf):

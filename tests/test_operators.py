@@ -409,3 +409,31 @@ def test_ivf_ragged_vector_fails_loudly(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="dim=16"):
         kmeans_centroids(emb, n_centroids=2, dim=16)
+
+
+def test_ann_violations_non_vacuous(spark, embeddings):
+    """The expected-empty ANN property oracle must be self-contained: an
+    operator that returns nothing (or too little) has to FAIL the check,
+    not pass by emptiness (round-3 verdict #3)."""
+    from __spark_entry__ import _ann_violations
+    from customer_er_spark.operators.similarity import lsh_topk
+
+    empty = spark.createDataFrame(
+        [], "query_id long, neighbor_id long, cos double, rank int"
+    )
+    viol = _ann_violations(embeddings, empty, k=5, dim=64)
+    cov = viol.where(F.col("kind") == "coverage")
+    assert cov.count() == embeddings.count()  # every query under-covered
+
+    # truncated output (one row dropped from one query) is also caught
+    real = lsh_topk(embeddings, k=5, dim=64, n_planes=4, n_tables=16)
+    one_q = real.select("query_id").first()["query_id"]
+    truncated = real.where(
+        ~((F.col("query_id") == one_q) & (F.col("rank") == 5))
+    )
+    v2 = _ann_violations(embeddings, truncated, k=5, dim=64)
+    assert v2.where(
+        (F.col("kind") == "coverage") & (F.col("query_id") == one_q)
+    ).count() == 1
+    # and the healthy output stays violation-free
+    assert _ann_violations(embeddings, real, k=5, dim=64).count() == 0
