@@ -137,12 +137,20 @@ class SparkCatalog:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
-        n_files = sum(
-            1 for f in os.listdir(data_dir) if f.endswith(".parquet")
-        )
-        # row count of the new files from a parquet-footer scan — never
-        # df.count(), which would recompute the whole plan
-        rows_new = self.spark.read.parquet(data_dir).count()
+        # row count of the new files by summing their parquet footers
+        # (pyarrow, recursive for partitioned layouts) — no Spark job at
+        # all: a count() would schedule a scan per commit, and recomputing
+        # the plan is exactly what the committed files exist to avoid
+        n_files, rows_new = 0, 0
+        import pyarrow.parquet as pq
+
+        for root, _dirs, files in os.walk(data_dir):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n_files += 1
+                    rows_new += pq.ParquetFile(
+                        os.path.join(root, f)
+                    ).metadata.num_rows
         old = self.table_meta(name)
         if mode == "append" and old is not None:
             paths = self._paths(old) + [data_dir]

@@ -163,3 +163,24 @@ def test_database_ddl(spark, catalog):
     assert "sandbox" not in catalog.list_databases()
     with pytest.raises(ValueError, match="unsupported DDL"):
         catalog.ddl("ALTER TABLE x ADD COLUMN y int")
+
+
+def test_commit_counts_from_footers_no_extra_job(spark, catalog):
+    """write_table's row accounting sums parquet footers via pyarrow — the
+    ONLY Spark job in a commit is the write action itself (round-3 verdict
+    #5: the old path ran a count() job per commit)."""
+    df = spark.range(0, 1234).withColumn("v", F.col("id") * 2)
+    st = spark.sparkContext.statusTracker()
+    before = set(st.getJobIdsForGroup(None) or [])
+    meta = catalog.write_table(df, "footer_counts")
+    after = set(st.getJobIdsForGroup(None) or [])
+    assert meta["counts"]["rows_out"] == 1234
+    assert meta["n_files"] >= 1
+    assert len(after - before) == 1, "commit must run exactly the write job"
+    # partitioned layout: files live in nested dirs; footer walk still sums
+    meta2 = catalog.write_table(
+        df.withColumn("p", F.col("id") % 3), "footer_counts_part",
+        partition_by=["p"],
+    )
+    assert meta2["counts"]["rows_out"] == 1234
+    assert meta2["n_files"] >= 3
