@@ -81,6 +81,8 @@ def minhash_lsh_pairs(
     jaccard_min: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    catalog=None,
+    table: str = "minhash_pairs",
 ) -> DataFrame:
     """Near-dup candidate pairs via MinHash LSH, verified by the signature
     Jaccard estimate: (id_l, id_r, jacc).
@@ -122,8 +124,12 @@ def minhash_lsh_pairs(
         .select("id_l", "id_r", F.round("jacc", 6).alias("jacc"))
     )
     # materialize the verified pairs (small output), then free the cached
-    # signatures — downstream consumers read the checkpointed result.
-    out = out.localCheckpoint(eager=True)
+    # signatures — downstream consumers read the committed/checkpointed
+    # result.  Pass a catalog for a durable snapshot commit (cluster mode);
+    # the default localCheckpoint is the single-box fallback.
+    from customer_er_spark.operators.materialize import materialize
+
+    out = materialize(out, catalog, table, config_hash=cfg.config_hash())
     sig.unpersist()
     return out
 

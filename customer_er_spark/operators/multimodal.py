@@ -15,7 +15,14 @@ Operators:
                    embedding-extraction stand-in
   audio_meta       bytes -> (ok, sample_rate, channels, n_samples,
                    duration_s, rms) — WAV real, others poison-safe false
-  frame_sample     stub for video: deterministic frame-index plan only
+  video_meta       MP4 bytes -> container metadata (duration, dims,
+                   tracks, frame count) via the pure-stdlib box parser
+                   (customer_er_spark.mp4) — real parse, no codec libs
+  frame_sample     MP4 bytes -> one row per sampled frame with its REAL
+                   timestamp + keyframe flag from the stts/stss tables;
+                   pixel decode stays honestly out of scope (mdat holds
+                   codec-encoded samples).  frame_sample_plan remains the
+                   metadata-only variant for pre-extracted frame counts.
 """
 
 from __future__ import annotations
@@ -153,11 +160,99 @@ def frame_sample_plan(
     videos: DataFrame, every_n: int = 30, id_col: str = "image_id",
     n_frames_col: str = "n_frames",
 ) -> DataFrame:
-    """Video frame sampling *plan* (decode itself is stubbed): one row per
-    sampled frame index — pure Catalyst sequence/explode, no UDF."""
+    """Frame sampling over a PRE-EXTRACTED frame count column: one row per
+    sampled frame index — pure Catalyst sequence/explode, no UDF.  Use
+    frame_sample below to read the counts/timestamps from MP4 bytes."""
     return videos.select(
         F.col(id_col),
         F.explode(
             F.sequence(F.lit(0), F.col(n_frames_col) - 1, F.lit(every_n))
         ).alias("frame_idx"),
+    )
+
+
+def video_meta(videos: DataFrame, id_col: str = "video_id") -> DataFrame:
+    """MP4 bytes -> (ok, duration_s, n_tracks, width, height, n_frames,
+    n_keyframes) from a real pure-stdlib box parse (customer_er_spark.mp4).
+    Non-MP4 / truncated payloads get ok=false, never a stage failure."""
+    from customer_er_spark.mp4 import parse_mp4
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vid, data in zip(pdf[id_col], pdf.bytes):
+                try:
+                    m = parse_mp4(bytes(data))
+                    tr = max(
+                        m.tracks, key=lambda t: t.width * t.height, default=None
+                    )
+                    rows.append((
+                        vid, True, m.duration_s, len(m.tracks),
+                        int(tr.width) if tr else None,
+                        int(tr.height) if tr else None,
+                        tr.n_samples if tr else None,
+                        (len(tr.stss) if tr.stss is not None else tr.n_samples)
+                        if tr else None,
+                    ))
+                except Exception:
+                    rows.append((vid, False, None, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "ok", "duration_s", "n_tracks", "width",
+                         "height", "n_frames", "n_keyframes"],
+            )
+
+    return videos.select(F.col(id_col), "bytes").mapInPandas(
+        op,
+        schema=f"{id_col} string, ok boolean, duration_s double, "
+               "n_tracks int, width int, height int, n_frames long, "
+               "n_keyframes long",
+    )
+
+
+def frame_sample(
+    videos: DataFrame,
+    every_n: int = 30,
+    sync_only: bool = False,
+    id_col: str = "video_id",
+) -> DataFrame:
+    """Real frame sampling from MP4 container tables: one row per sampled
+    frame with its true timestamp (expanded from stts run-lengths) and
+    keyframe flag (stss membership).  sync_only=True restricts to
+    keyframes — the frames a pixel extractor could seek to directly.
+    Undecodable payloads yield zero rows for that video (poison-safe);
+    pixel decode itself is out of scope (no codec libs in this container)."""
+    from customer_er_spark.mp4 import parse_mp4, sample_table
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ts, syncs = [], [], [], []
+            for vid, data in zip(pdf[id_col], pdf.bytes):
+                try:
+                    m = parse_mp4(bytes(data))
+                    tr = max(
+                        m.tracks, key=lambda t: t.n_samples, default=None
+                    )
+                    if tr is None:
+                        continue
+                    for idx, t, is_sync in sample_table(tr):
+                        if sync_only and not is_sync:
+                            continue
+                        if not sync_only and idx % every_n:
+                            continue
+                        ids.append(vid)
+                        idxs.append(idx)
+                        ts.append(t)
+                        syncs.append(is_sync)
+                except Exception:
+                    continue
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "t_seconds": ts,
+                 "is_sync": syncs}
+            )
+
+    return videos.select(F.col(id_col), "bytes").mapInPandas(
+        op,
+        schema=f"{id_col} string, frame_idx long, t_seconds double, "
+               "is_sync boolean",
     )

@@ -110,6 +110,8 @@ def lsh_topk(
     vec_col: str = "embedding",
     max_bucket_size: int = 256,
     shuffle_partitions: int = 32,
+    catalog=None,
+    table: str = "lsh_topk",
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane buckets (n_tables independent
     tables of n_planes bits), candidates = same bucket in any table.
@@ -178,11 +180,15 @@ def lsh_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
-    out = (
+    from customer_er_spark.operators.materialize import materialize
+
+    out = materialize(  # n*k rows — small; durable when a catalog is given
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
-    ).localCheckpoint(eager=True)  # n*k rows — small
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"),
+        catalog,
+        table,
+    )
     base.unpersist()
     return out
 
@@ -342,6 +348,8 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_train: int = 65536,
+    catalog=None,
+    table: str = "ivf_topk",
 ) -> DataFrame:
     """Approximate top-k via IVF: (query_id, neighbor_id, cos, rank).
 
@@ -405,10 +413,14 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
-    out = (
+    from customer_er_spark.operators.materialize import materialize
+
+    out = materialize(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
-    ).localCheckpoint(eager=True)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"),
+        catalog,
+        table,
+    )
     base.unpersist()
     return out

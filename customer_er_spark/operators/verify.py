@@ -171,7 +171,11 @@ def field_sim(fd: FieldDef) -> Column:
 
 
 def verify_pairs(
-    pairs: DataFrame, signatures: DataFrame, cfg: ERConfig
+    pairs: DataFrame,
+    signatures: DataFrame,
+    cfg: ERConfig,
+    catalog=None,
+    table_prefix: str = "verify_tmp",
 ) -> DataFrame:
     """-> (id_l, id_r, hamming, caption_sim, image_sim, score, is_match)
 
@@ -213,9 +217,13 @@ def verify_pairs(
         )
         .select("id_l", "id_r", "hamming")
     )
-    # narrow (3 columns) but feeds both branches: materialize once (on a
-    # cluster this would be a checkpoint-table write)
-    ph = ph.localCheckpoint(eager=True)
+    # narrow (3 columns) but feeds both branches: materialize once — a
+    # durable snapshot commit when a catalog is supplied (cluster mode),
+    # localCheckpoint otherwise (single-box fallback)
+    from customer_er_spark.operators.materialize import materialize
+
+    ph = materialize(ph, catalog, f"{table_prefix}_hamming",
+                     config_hash=cfg.config_hash())
     passed = ph.where(F.col("hamming") <= F.lit(cfg.phash_hamming_max))
     failed = ph.where(F.col("hamming") > F.lit(cfg.phash_hamming_max))
 
@@ -237,8 +245,11 @@ def verify_pairs(
         / F.lit(float(cfg.num_hashes)),
     )
     # feeds the LCS refinement subquery AND the final scoring scan
-    base = base.drop("mh_l", "mh_r", "phash_l", "phash_r").localCheckpoint(
-        eager=True
+    base = materialize(
+        base.drop("mh_l", "mh_r", "phash_l", "phash_r"),
+        catalog,
+        f"{table_prefix}_base",
+        config_hash=cfg.config_hash(),
     )
 
     border_lcs = (

@@ -34,7 +34,9 @@ Stale-score note (documented trade-off of insert-only): z_min/maxScore of
 PRIOR member rows are not rewritten when a later link edge attaches to
 them — a member's scores reflect the verified edges known when its row was
 written.  Accepted link edges ARE persisted into verified_pairs (with the
-real prior endpoint), so recomputing scores from edges stays possible.
+real prior endpoint), so scores stay recomputable — and
+refresh_member_scores below is that recomputation, runnable as an
+occasional compaction-style maintenance job.
 """
 
 from __future__ import annotations
@@ -420,3 +422,63 @@ def run_incremental_match(
     # recorded so a replayed (fully-applied) increment can answer in O(1)
     catalog.set_state(f"incr_summary::{inc_snap}", summary)
     return summary
+
+
+def refresh_member_scores(
+    spark: SparkSession, catalog: SparkCatalog, cfg: ERConfig | None = None
+) -> dict:
+    """Maintenance op: recompute every member's z_min/maxScore from the
+    verified_pairs edge table and commit a fresh cluster_members snapshot.
+
+    The append-only merge deliberately never rewrites PRIOR member rows, so
+    a prior that later gains link edges carries stale (or NULL) scores
+    until this job runs — the documented insert-only trade.  This is the
+    promised recomputation path: verified_pairs holds every accepted edge
+    (within-run matches AND accepted link edges with their real prior
+    endpoints), so a single groupBy over it is the ground truth for member
+    scores.  Run it occasionally, like a compaction.
+
+    Cost: one scan of verified_pairs + one rewrite of cluster_members.  On
+    an Iceberg deployment this maps to MERGE INTO with file-level skipping
+    (only data files holding touched members rewrite); the parquet-manifest
+    backend rewrites the table, which is still one bounded batch job, not
+    per-increment work.
+    """
+    cfg = cfg or ERConfig()
+    edges = catalog.read_table("verified_pairs").where("is_match")
+    per_member = (
+        edges.select(F.col("id_l").alias("image_id"), "score")
+        .unionByName(edges.select(F.col("id_r").alias("image_id"), "score"))
+        .groupBy("image_id")
+        .agg(
+            F.min("score").alias("z_minScore"),
+            F.max("score").alias("z_maxScore"),
+        )
+    )
+    members = catalog.read_table("cluster_members")
+    out_cols = members.columns
+    refreshed = (
+        members.withColumnRenamed("z_minScore", "old_min")
+        .withColumnRenamed("z_maxScore", "old_max")
+        .join(per_member, "image_id", "left")
+        .withColumn(
+            "changed",
+            ~(
+                F.col("z_minScore").eqNullSafe(F.col("old_min"))
+                & F.col("z_maxScore").eqNullSafe(F.col("old_max"))
+            ),
+        )
+    )
+    n_changed = refreshed.where("changed").count()
+    meta = catalog.write_table(
+        refreshed.select(*out_cols),
+        "cluster_members",
+        config_hash=cfg.config_hash(),
+        extra_meta={"score_refresh": True},
+        overwrite_schema=False,
+    )
+    return {
+        "members": meta["counts"]["rows_out"],
+        "changed": n_changed,
+        "snapshot_id": meta["snapshot_id"],
+    }

@@ -184,3 +184,35 @@ def test_commit_counts_from_footers_no_extra_job(spark, catalog):
     )
     assert meta2["counts"]["rows_out"] == 1234
     assert meta2["n_files"] >= 3
+
+
+def test_refresh_member_scores(spark, append_run):
+    """After an increment, the score-refresh maintenance op makes every
+    member row match a from-scratch aggregate of verified_pairs — closing
+    the documented stale-prior-score trade of insert-only merges."""
+    from customer_er_spark.plans.incremental import refresh_member_scores
+
+    catalog = append_run[0]
+    edges = catalog.read_table("verified_pairs").where("is_match")
+    truth = (
+        edges.select(F.col("id_l").alias("image_id"), "score")
+        .unionByName(edges.select(F.col("id_r").alias("image_id"), "score"))
+        .groupBy("image_id")
+        .agg(F.min("score").alias("t_min"), F.max("score").alias("t_max"))
+    )
+    res = refresh_member_scores(spark, catalog, CFG)
+    members = catalog.read_table("cluster_members")
+    stale = (
+        members.join(truth, "image_id", "left")
+        .where(
+            ~(
+                F.col("z_minScore").eqNullSafe(F.col("t_min"))
+                & F.col("z_maxScore").eqNullSafe(F.col("t_max"))
+            )
+        )
+        .count()
+    )
+    assert stale == 0, f"{stale} member rows still stale after refresh"
+    assert res["members"] == members.count()
+    # idempotent: a second refresh changes nothing
+    assert refresh_member_scores(spark, catalog, CFG)["changed"] == 0

@@ -185,3 +185,63 @@ def test_audio_meta_operator(spark, rng):
     assert ok["ok"] and ok["sample_rate"] == 8000 and ok["channels"] == 1
     assert ok["n_samples"] == 8000 and ok["duration_s"] == 1.0 and ok["rms"] > 0
     assert not out["w2"]["ok"] and not out["m1"]["ok"]
+
+
+def test_mp4_parse_roundtrip():
+    """build_minimal_mp4 -> parse_mp4 recovers every field the sampler
+    needs: movie/track duration, dims, frame count, keyframe indices."""
+    from customer_er_spark.mp4 import build_minimal_mp4, parse_mp4, sample_table
+
+    data = build_minimal_mp4(
+        n_frames=90, fps=30, width=64, height=48, keyframe_every=30
+    )
+    m = parse_mp4(data)
+    assert m.brands == "isom" and m.duration_s == pytest.approx(3.0)
+    (tr,) = m.tracks
+    assert (tr.track_id, tr.width, tr.height) == (1, 64.0, 48.0)
+    assert tr.n_samples == 90 and tr.duration_s == pytest.approx(3.0)
+    st = sample_table(tr)
+    assert len(st) == 90
+    assert st[1] == (1, pytest.approx(1 / 30), False)
+    assert [i for i, _, s in st if s] == [0, 30, 60]
+    # malformed payloads raise (operators map this to ok=false / zero rows)
+    with pytest.raises(ValueError):
+        parse_mp4(b"\x00" * 40)
+    with pytest.raises(ValueError):
+        parse_mp4(data[: len(data) // 3])  # truncated mid-box
+
+
+def test_video_meta_and_frame_sample_operators(spark):
+    from customer_er_spark.mp4 import build_minimal_mp4
+    from customer_er_spark.operators.multimodal import frame_sample, video_meta
+
+    rows = [
+        ("v1", bytearray(build_minimal_mp4(n_frames=60, fps=30,
+                                           keyframe_every=20))),
+        ("v2", bytearray(build_minimal_mp4(n_frames=10, fps=5, width=32,
+                                           height=32, keyframe_every=4))),
+        ("bad", bytearray(b"not an mp4 payload at all...")),
+    ]
+    vids = spark.createDataFrame(rows, "video_id string, bytes binary")
+
+    meta = {r["video_id"]: r for r in video_meta(vids).collect()}
+    assert meta["v1"]["ok"] and meta["v1"]["n_frames"] == 60
+    assert meta["v1"]["n_keyframes"] == 3  # frames 1, 21, 41
+    assert meta["v2"]["width"] == 32 and meta["v2"]["duration_s"] == \
+        pytest.approx(2.0)
+    assert not meta["bad"]["ok"]  # poison-safe, no stage failure
+
+    # every-n sampling with REAL timestamps from stts
+    sampled = frame_sample(vids, every_n=30).collect()
+    by_vid = {}
+    for r in sampled:
+        by_vid.setdefault(r["video_id"], []).append(r)
+    assert [r["frame_idx"] for r in by_vid["v1"]] == [0, 30]
+    assert by_vid["v1"][1]["t_seconds"] == pytest.approx(1.0)
+    assert "bad" not in by_vid  # zero rows for poison input
+
+    # keyframe-only sampling indexes the stss table
+    syncs = frame_sample(vids, sync_only=True).collect()
+    v2_syncs = [r["frame_idx"] for r in syncs if r["video_id"] == "v2"]
+    assert v2_syncs == [0, 4, 8]
+    assert all(r["is_sync"] for r in syncs)

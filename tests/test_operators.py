@@ -437,3 +437,29 @@ def test_ann_violations_non_vacuous(spark, embeddings):
     ).count() == 1
     # and the healthy output stays violation-free
     assert _ann_violations(embeddings, real, k=5, dim=64).count() == 0
+
+
+def test_minhash_pairs_catalog_durable(spark, catalog):
+    """With a catalog, operator-internal materialization is a committed
+    snapshot (recomputable after executor loss), not a localCheckpoint
+    pinned to executors — and no cached blocks outlive the call."""
+    from customer_er_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    def persisted_ids():
+        # id SET, not size: the ContextCleaner may GC blocks from earlier
+        # tests concurrently, so only net-NEW ids are this call's leak
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return set(jmap.keySet().toArray())
+
+    before = persisted_ids()
+    out = minhash_lsh_pairs(docs, ERConfig(shuffle_partitions=8),
+                            jaccard_min=0.5, catalog=catalog)
+    rows = out.count()
+    meta = catalog.table_meta("minhash_pairs")
+    assert meta is not None and meta["counts"]["rows_out"] == rows
+    # the handle reads the committed parquet, and nothing stayed cached
+    assert catalog.read_table("minhash_pairs").count() == rows
+    leaked = persisted_ids() - before
+    assert not leaked, f"operator left persisted blocks: {leaked}"
