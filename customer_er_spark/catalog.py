@@ -137,20 +137,45 @@ class SparkCatalog:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
-        # row count of the new files by summing their parquet footers
-        # (pyarrow, recursive for partitioned layouts) — no Spark job at
-        # all: a count() would schedule a scan per commit, and recomputing
-        # the plan is exactly what the committed files exist to avoid
-        n_files, rows_new = 0, 0
+        return self._finalize_commit(
+            df.schema.jsonValue(), name, mode, snap_id, data_dir,
+            config_hash, inputs, extra_meta,
+        )
+
+    @staticmethod
+    def _footer_files(data_dir: str) -> list[dict]:
+        """Per-file row counts by summing parquet footers (pyarrow,
+        recursive for partitioned layouts) — no Spark job at all: a
+        count() would schedule a scan per commit, and recomputing the plan
+        is exactly what the committed files exist to avoid."""
         import pyarrow.parquet as pq
 
+        data_files = []
         for root, _dirs, files in os.walk(data_dir):
-            for f in files:
+            for f in sorted(files):
                 if f.endswith(".parquet"):
-                    n_files += 1
-                    rows_new += pq.ParquetFile(
-                        os.path.join(root, f)
-                    ).metadata.num_rows
+                    full = os.path.join(root, f)
+                    data_files.append({
+                        "path": os.path.relpath(full, data_dir),
+                        "rows": pq.ParquetFile(full).metadata.num_rows,
+                    })
+        data_files.sort(key=lambda d: d["path"])
+        return data_files
+
+    def _finalize_commit(
+        self,
+        schema_json: dict,
+        name: str,
+        mode: str,
+        snap_id: str,
+        data_dir: str,
+        config_hash: str,
+        inputs: dict[str, str] | None,
+        extra_meta: dict | None,
+    ) -> dict:
+        data_files = self._footer_files(data_dir)
+        n_files = len(data_files)
+        rows_new = sum(d["rows"] for d in data_files)
         old = self.table_meta(name)
         if mode == "append" and old is not None:
             paths = self._paths(old) + [data_dir]
@@ -163,10 +188,15 @@ class SparkCatalog:
             "snapshot_id": snap_id,
             "path": data_dir,     # newest data dir (back-compat)
             "paths": paths,       # full snapshot = union of these dirs
-            "schema": df.schema.jsonValue(),
+            "schema": schema_json,
             "config_hash": config_hash,
             "inputs": inputs or {},
             "n_files": n_files,
+            # per-file row counts (from the same footer walk): the durable
+            # per-partition lineage record — a committed table's partitions
+            # ARE its files, so stage metrics read this instead of running
+            # a histogram job over the output
+            "data_files": data_files,
             "counts": {"rows_out": rows_out, "rows_appended": rows_new},
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             **(extra_meta or {}),
@@ -221,6 +251,50 @@ class SparkCatalog:
         return self._commit(
             df, name, "append", config_hash, inputs, partition_by,
             extra_meta, overwrite_schema=False,
+        )
+
+    def write_table_local(
+        self,
+        rows: list[dict],
+        name: str,
+        config_hash: str = "",
+        inputs: dict[str, str] | None = None,
+        extra_meta: dict | None = None,
+    ) -> dict:
+        """Commit a SMALL driver-side row list as a snapshot with ZERO
+        Spark jobs (pyarrow writes the parquet file directly).
+
+        For the metrics/lineage tables: they hold dozens of rows per run,
+        and scheduling a distributed write action for each was pure fixed
+        cost — the kind that dilutes measured scaling efficiency without
+        exercising the engine.  Everything else (atomic manifest swap,
+        footer-derived counts, read_table compatibility) is identical to
+        write_table; the schema recorded in the manifest is read back from
+        the written file's own footer, so there is one source of truth.
+        """
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if not rows:
+            raise ValueError("write_table_local requires at least one row")
+        snap_id = f"snap-{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        tdir = self._table_dir(name)
+        data_dir = os.path.join(tdir, snap_id)
+        os.makedirs(data_dir, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pylist(rows),
+            os.path.join(data_dir, "part-00000.parquet"),
+        )
+        # driver-side footer read — no Spark job; lazily valid for reads
+        schema_json = self.spark.read.parquet(data_dir).schema.jsonValue()
+        try:
+            self._check_schema(name, schema_json, False, "overwrite")
+        except ValueError:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            raise
+        return self._finalize_commit(
+            schema_json, name, "overwrite", snap_id, data_dir,
+            config_hash, inputs, extra_meta,
         )
 
     def read_table(self, name: str) -> DataFrame:

@@ -7,9 +7,12 @@ Each stage appends to two driver-side-cheap tables in the catalog:
           output_snapshot, ts)
   partition_lineage(stage, output_snapshot, partition_id, rows)
 
-The per-partition histogram is computed distributedly with
-spark_partition_id() + groupBy — one cheap job over the checkpointed output
-(already on disk), no collect of data rows.
+The per-partition histogram comes straight from the commit manifest's
+per-file footer counts (catalog._commit walks the written files anyway):
+a committed table's durable partitions ARE its data files, so recording
+them costs ZERO Spark jobs — the old spark_partition_id() histogram ran
+one extra scan job per stage, a pure fixed cost that diluted scaling
+efficiency at small corpus sizes.
 """
 
 from __future__ import annotations
@@ -17,8 +20,7 @@ from __future__ import annotations
 import json
 import time
 
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+from pyspark.sql import SparkSession
 
 
 class StageMetrics:
@@ -37,7 +39,7 @@ class StageMetrics:
         config_hash: str,
         input_snapshots: dict[str, str],
         output_snapshot: str,
-        output_df: DataFrame | None = None,
+        data_files: list[dict] | None = None,
         extra: dict | None = None,
     ) -> None:
         self._rows.append(
@@ -53,26 +55,20 @@ class StageMetrics:
                 "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
         )
-        if output_df is not None:
-            hist = (
-                output_df.groupBy(F.spark_partition_id().alias("partition_id"))
-                .count()
-                .collect()
+        for i, df_info in enumerate(data_files or []):
+            self._parts.append(
+                {
+                    "stage": stage,
+                    "output_snapshot": output_snapshot,
+                    "partition_id": i,
+                    "rows": int(df_info["rows"]),
+                }
             )
-            for r in hist:
-                self._parts.append(
-                    {
-                        "stage": stage,
-                        "output_snapshot": output_snapshot,
-                        "partition_id": int(r["partition_id"]),
-                        "rows": int(r["count"]),
-                    }
-                )
 
     def flush(self) -> None:
+        # driver-side rows, driver-side commit: zero Spark jobs
+        # (catalog.write_table_local) — these tables are dozens of rows
         if self._rows:
-            df = self.spark.createDataFrame(self._rows)
-            self.catalog.write_table(df, "metrics")
+            self.catalog.write_table_local(self._rows, "metrics")
         if self._parts:
-            df = self.spark.createDataFrame(self._parts)
-            self.catalog.write_table(df, "partition_lineage")
+            self.catalog.write_table_local(self._parts, "partition_lineage")

@@ -43,8 +43,11 @@ def run_initial(
     catalog: SparkCatalog,
     cfg: ERConfig | None = None,
     images_snapshot: str = "images-external",
+    n_images: int | None = None,
 ) -> dict:
-    """Run (or resume) the full dedup pipeline; returns stage summary."""
+    """Run (or resume) the full dedup pipeline; returns stage summary.
+    Pass n_images when the caller already counted the input (parquet
+    counts are footer-cheap, but the job scheduling isn't free)."""
     cfg = cfg or ERConfig()
     ch = cfg.config_hash()
     metrics = StageMetrics(spark, catalog)
@@ -61,13 +64,14 @@ def run_initial(
         rows_out = manifest["counts"]["rows_out"]
         metrics.record(
             name, rows_in, rows_out, time.time() - t0, ch, inputs,
-            manifest["snapshot_id"], output_df=out,
+            manifest["snapshot_id"], data_files=manifest.get("data_files"),
         )
         summary[name] = {"resumed": False, "rows_out": rows_out,
                          "wall_sec": round(time.time() - t0, 2)}
         return out
 
-    n_images = images.count()
+    if n_images is None:
+        n_images = images.count()
     inputs0 = {"images": images_snapshot}
 
     sig = stage("signatures", inputs0,

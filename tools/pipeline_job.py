@@ -43,7 +43,7 @@ def main() -> None:
     n = images.count()
 
     t0 = time.time()
-    summary = run_initial(spark, images, catalog, cfg)
+    summary = run_initial(spark, images, catalog, cfg, n_images=n)
     wall = time.time() - t0
 
     truth = spark.read.parquet(f"{corpus_dir}/truth_pairs.parquet")
