@@ -325,6 +325,51 @@ def q_lang_id(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# multimodal: MP4 container parsing (deterministic synthesized table —
+# no video column exists in the driver testdata; the input is built
+# in-process from customer_er_spark.mp4.build_minimal_mp4, so the oracle
+# can predict every output value in closed form)
+# ---------------------------------------------------------------------------
+
+_N_VIDEOS = 50
+
+
+def _videos_df(spark):
+    from customer_er_spark.mp4 import build_minimal_mp4
+
+    rows = [
+        (f"v{i:03d}",
+         bytearray(build_minimal_mp4(
+             n_frames=30 + (i * 7) % 120, fps=30, width=64, height=48,
+             keyframe_every=10,
+         )))
+        for i in range(_N_VIDEOS)
+    ]
+    return spark.createDataFrame(rows, "video_id string, bytes binary")
+
+
+def q_frame_sample(spark, sf):
+    """Real MP4 frame sampling: parse the ISO-BMFF box tree, expand the
+    stts time-to-sample table, flag stss keyframes, sample every 25th
+    frame.  Video i has 30 + (i*7)%120 frames at 30 fps with a keyframe
+    every 10 samples, so DuckDB reproduces the exact rows from
+    generate_series — including t_seconds, because idx*100/3000 and
+    idx/30.0 are the same rational and IEEE division is correctly
+    rounded."""
+    from customer_er_spark.operators.multimodal import frame_sample
+
+    return frame_sample(_videos_df(spark), every_n=25)
+
+
+def q_video_meta(spark, sf):
+    # container metadata from the same synthesized table; every column is
+    # closed-form in i (keyframes are 1-based samples 1, 11, 21, ...)
+    from customer_er_spark.operators.multimodal import video_meta
+
+    return video_meta(_videos_df(spark))
+
+
+# ---------------------------------------------------------------------------
 # similarity search (embeddings table)
 # ---------------------------------------------------------------------------
 
@@ -490,6 +535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_topk_ivf": q_embedding_topk_ivf,
+        "frame_sample": q_frame_sample,
+        "video_meta": q_video_meta,
     }
 
 
@@ -779,6 +826,36 @@ def oracle_sql() -> dict[str, str]:
         # emits a row).
         "embedding_topk_lsh": _ANN_EMPTY_ORACLE,
         "embedding_topk_ivf": _ANN_EMPTY_ORACLE,
+        # frame_sample / video_meta — the Spark side REALLY parses MP4
+        # boxes (mp4.parse_mp4) over a deterministically synthesized table;
+        # the oracle reproduces the expected rows in closed form from the
+        # same (n_frames, fps, keyframe_every) generator parameters.
+        "frame_sample": f"""
+            WITH v AS (
+              SELECT CAST(i AS INT) AS i, 30 + (CAST(i AS INT) * 7) % 120 AS n_frames
+              FROM range({_N_VIDEOS}) t(i)),
+            f AS (
+              SELECT i, unnest(generate_series(0, n_frames - 1, 25)) AS frame_idx
+              FROM v)
+            SELECT 'v' || lpad(CAST(i AS VARCHAR), 3, '0') AS video_id,
+                   CAST(frame_idx AS BIGINT) AS frame_idx,
+                   CAST(frame_idx AS DOUBLE) / 30 AS t_seconds,
+                   (frame_idx % 10 = 0) AS is_sync
+            FROM f
+        """,
+        "video_meta": f"""
+            SELECT 'v' || lpad(CAST(i AS VARCHAR), 3, '0') AS video_id,
+                   TRUE AS ok,
+                   CAST(30 + (CAST(i AS INT) * 7) % 120 AS DOUBLE) / 30
+                     AS duration_s,
+                   CAST(1 AS INT) AS n_tracks,
+                   CAST(64 AS INT) AS width,
+                   CAST(48 AS INT) AS height,
+                   CAST(30 + (CAST(i AS INT) * 7) % 120 AS BIGINT) AS n_frames,
+                   CAST((30 + (CAST(i AS INT) * 7) % 120 + 9) // 10 AS BIGINT)
+                     AS n_keyframes
+            FROM range({_N_VIDEOS}) t(i)
+        """,
     }
 
 
