@@ -324,6 +324,31 @@ def q_lang_id(spark, sf):
     return language_id(_t(spark, sf, "documents"))
 
 
+def q_fuzzy_sim(spark, sf):
+    """The FUZZY MatchType kernel (operators/verify._fuzzy_sim — trigram-set
+    Jaccard, pure Catalyst) value-checked end-to-end: score consecutive
+    documents (doc_id i vs i+1) as if they were a structured-field pair.
+    Output is the integer (n_inter, n_union) pair per the no-round rule;
+    DuckDB replays the same trigram sets with a grams CTE."""
+    from customer_er_spark.operators.verify import _grams3
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.lower(F.trim(F.col("text"))).alias("s")
+    )
+    l = d.select(F.col("doc_id").alias("id_l"), F.col("s").alias("sl"))
+    r = d.select((F.col("doc_id") - 1).alias("id_l"), F.col("s").alias("sr"))
+    pairs = l.join(r, "id_l").where(
+        (F.length("sl") >= 3) & (F.length("sr") >= 3)
+    )
+    gl, gr = _grams3(F.col("sl")), _grams3(F.col("sr"))
+    inter = F.size(F.array_intersect(gl, gr)).cast("long")
+    return pairs.select(
+        "id_l",
+        inter.alias("n_inter"),
+        (F.size(gl) + F.size(gr)).cast("long").alias("n_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal: MP4 container parsing (deterministic synthesized table —
 # no video column exists in the driver testdata; the input is built
@@ -532,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "calibration_report": q_calibration_report,
         "lang_id": q_lang_id,
+        "fuzzy_sim": q_fuzzy_sim,
         "embedding_topk": q_embedding_topk,
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_topk_ivf": q_embedding_topk_ivf,
@@ -808,6 +834,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc_id, fp FROM wm WHERE p <= n_grams - 3
         """,
         "lang_id": _lang_id_sql(),
+        # fuzzy_sim — DuckDB replays the FUZZY MatchType trigram kernel:
+        # distinct trigrams of lower(trim(text)) per doc, intersect counts
+        # for consecutive doc_id pairs (same no-round integer-pair rule)
+        "fuzzy_sim": """
+            WITH d AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+            pos AS (SELECT doc_id, s,
+                           unnest(generate_series(1, length(s) - 2)) AS g
+                    FROM d WHERE length(s) >= 3),
+            grams AS (SELECT DISTINCT doc_id,
+                             substring(s, CAST(g AS INT), 3) AS gram
+                      FROM pos),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_l, count(*) AS n_inter
+                      FROM grams a JOIN grams b
+                        ON a.gram = b.gram AND b.doc_id = a.doc_id + 1
+                      GROUP BY 1)
+            SELECT sl.doc_id AS id_l,
+                   COALESCE(i.n_inter, 0) AS n_inter,
+                   sl.n + sr.n AS n_sum
+            FROM sizes sl
+            JOIN sizes sr ON sr.doc_id = sl.doc_id + 1
+            LEFT JOIN inter i ON i.id_l = sl.doc_id
+        """,
         "embedding_topk": _cosine_sql(),
         # the three hash-randomized kernels get VALUE-level oracles via
         # deterministic compositions (see each query's docstring):

@@ -5,7 +5,13 @@ spark-submit --py-files, same input).
 Writes BENCH/BASELINE.md with throughput at both sizes + efficiency
     eff = (thr_4N / thr_N) / 4.
 
-Usage: python tools/bench_scaling.py [n_images] [repeats]
+Usage: python tools/bench_scaling.py [n_images] [repeats] [n_small] [n_big]
+
+The size pair defaults to local[2] vs local[8]; local[1] vs local[4] is
+the other physically honest pair on this host (1-core "executors", 4x
+count, all within guaranteed-real cores — the closest single-box model of
+adding whole executors).  All runs of every size pool in
+bench_out/scaling_runs.jsonl per engine revision.
 """
 
 from __future__ import annotations
@@ -95,7 +101,9 @@ def main() -> None:
     log_path = os.path.join(REPO, "bench_out", "scaling_runs.jsonl")
     os.makedirs(os.path.dirname(log_path), exist_ok=True)
 
-    n_small, n_big = 2, 8
+    n_small = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    n_big = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    assert n_big == 4 * n_small, "north rule compares N vs 4N"
     for cores in (n_small, n_big):
         for r in range(repeats):
             res = run_once(zpath, cdir, cores)
