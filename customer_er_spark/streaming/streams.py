@@ -84,6 +84,58 @@ def exact_dedup_stream(
     )
 
 
+def stateful_dedup_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    running (n_copies, keep_id) per normalized-text hash, maintained
+    across micro-batches in engine-managed per-key state.
+
+    This is the arbitrary-stateful path the built-in operators can't
+    express: dropDuplicates* can only SUPPRESS rows, while this op emits a
+    fresh aggregate row per key per batch (the live duplicate census a
+    training-data ingest dashboards on), with keep_id = global first/
+    minimum id across ALL batches so the survivor choice matches the batch
+    exact_dedup operator.  State per key is two scalars (bounded); state
+    lives in the stream checkpoint, so a restarted query resumes its
+    counts instead of starting over (covered by test_streaming.py).
+
+    Scale shape: groupBy(text_hash) shuffles 8-byte-ish keys + ids only
+    (text is dropped before the shuffle); the state store is hash-
+    partitioned by key across executors — the standard layout for
+    billions of keys."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from customer_er_spark.functions.text import normalize_caption
+
+    keyed = docs.select(
+        F.md5(normalize_caption(F.col(text_col))).alias("text_hash"),
+        F.col(id_col).cast("string").alias("rid"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, keep = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            batch_min = pdf["rid"].min()
+            keep = batch_min if keep is None or batch_min < keep else keep
+        state.update((n, keep))
+        yield pd.DataFrame(
+            {"text_hash": [key[0]], "n_copies": [n], "keep_id": [keep]}
+        )
+
+    return keyed.groupBy("text_hash").applyInPandasWithState(
+        update,
+        outputStructType="text_hash string, n_copies long, keep_id string",
+        stateStructType="n_copies long, keep_id string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 FENCE = "last_stream_batch_id"
 BOOTSTRAP = "bootstrap_batch_id"
 

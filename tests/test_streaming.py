@@ -127,3 +127,51 @@ def test_stream_images_to_registry(spark, small_corpus, tmp_path):
     truth = spark.read.parquet(f"{small_corpus['dir']}/truth_pairs.parquet")
     m = recall_vs_truth(spark, members, truth)
     assert m["recall"] >= 0.99, m
+
+
+def test_stateful_dedup_counts(spark, tmp_path):
+    """applyInPandasWithState: per-key (n_copies, keep_id) state must
+    accumulate ACROSS restarted queries via the stream checkpoint."""
+    from customer_er_spark.streaming.streams import stateful_dedup_counts
+
+    src = str(tmp_path / "sd_src")
+    ckpt = str(tmp_path / "sd_ckpt")
+    os.makedirs(src)
+    rows1 = [(10, "alpha text"), (11, "alpha text"), (12, "beta text")]
+    rows2 = [(5, "alpha text"), (13, "gamma text")]
+    schema = "doc_id long, text string"
+    spark.createDataFrame(rows1, schema).write.parquet(f"{src}/b1")
+
+    def run(qname):
+        stream = spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        ).option("maxFilesPerTrigger", "1").parquet(f"{src}/*")
+        q = (
+            stateful_dedup_counts(stream)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _wait(q)
+        return {
+            r["text_hash"]: r
+            for r in spark.table(qname)
+            .orderBy("n_copies")  # last update per key wins below
+            .collect()
+        }
+
+    got1 = run("sd1")
+    by_copies1 = sorted((r["n_copies"], r["keep_id"]) for r in got1.values())
+    assert by_copies1 == [(1, "12"), (2, "10")]
+
+    # second batch arrives; a FRESH query on the same checkpoint resumes
+    # the stored per-key state — alpha grows to 3 copies and the survivor
+    # flips to the new global minimum id "10" -> "5"... (string order)
+    spark.createDataFrame(rows2, schema).write.parquet(f"{src}/b2")
+    got2 = run("sd2")
+    by_copies2 = sorted((r["n_copies"], r["keep_id"]) for r in got2.values())
+    assert (3, "10") in by_copies2  # 2 prior + 1 new; "10" < "5" as strings
+    assert (1, "13") in by_copies2  # new key emitted with fresh state

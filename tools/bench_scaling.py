@@ -204,6 +204,28 @@ brings its OWN memory bus and page-fault capacity, which is precisely the
 resource this single box cannot add.
 """
 
+    # other recorded N-vs-4N pairs of this engine revision (e.g. 1 vs 4:
+    # single-core "executors", all within guaranteed-real cores) — the pool
+    # may hold several; report each as corroborating evidence
+    alt_md = ""
+    for s in sorted(all_runs):
+        b = 4 * s
+        if (s, b) == (n_small, n_big) or s not in all_runs or b not in all_runs:
+            continue
+        if not all_runs.get(s) or not all_runs.get(b):
+            continue
+        bs = min(all_runs[s], key=lambda x: x["wall_sec"])
+        bb = min(all_runs[b], key=lambda x: x["wall_sec"])
+        sp = bb["images_per_sec"] / bs["images_per_sec"]
+        alt_md += (
+            f"\n## Corroborating size pair: local[{s}] vs local[{b}] "
+            f"({len(all_runs[s])}+{len(all_runs[b])} pooled runs)\n\n"
+            f"Best-of-pool: local[{s}] {bs['wall_sec']} s "
+            f"({bs['images_per_sec']} img/s) vs local[{b}] {bb['wall_sec']} s "
+            f"({bb['images_per_sec']} img/s) -> speedup {sp:.3f}x, "
+            f"**efficiency {sp / 4:.3f}**.\n"
+        )
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     ts = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
     runs_table = "\n".join(
@@ -251,7 +273,7 @@ separates engine scaling from single-machine fixed costs)
 Sum over stages: {par_small:.1f} s -> {par_big:.1f} s =
 **{summary['stage_sum_speedup']}x speedup, efficiency
 {summary['stage_sum_efficiency']}** at 4x the cores.
-
+{alt_md}
 Reading (honest): the data-parallel stages (signatures, candidate_pairs,
 verified_pairs — ~90% of the N-size wall) carry the scaling; the small
 stages (connected components over ~100k edges, registry writes, the
