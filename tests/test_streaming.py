@@ -143,12 +143,19 @@ def test_stateful_dedup_counts(spark, tmp_path):
     spark.createDataFrame(rows1, schema).write.parquet(f"{src}/b1")
 
     def run(qname):
+        # foreachBatch sink: the memory sink refuses checkpoint recovery,
+        # and recovery is exactly what this test exercises
+        updates = []
+
+        def sink(batch_df, batch_id):
+            updates.extend(batch_df.collect())
+
         stream = spark.readStream.schema(
             spark.createDataFrame([], schema).schema
         ).option("maxFilesPerTrigger", "1").parquet(f"{src}/*")
         q = (
             stateful_dedup_counts(stream)
-            .writeStream.format("memory")
+            .writeStream.foreachBatch(sink)
             .queryName(qname)
             .outputMode("update")
             .option("checkpointLocation", ckpt)
@@ -156,12 +163,10 @@ def test_stateful_dedup_counts(spark, tmp_path):
             .start()
         )
         _wait(q)
-        return {
-            r["text_hash"]: r
-            for r in spark.table(qname)
-            .orderBy("n_copies")  # last update per key wins below
-            .collect()
-        }
+        out = {}
+        for r in sorted(updates, key=lambda r: r["n_copies"]):
+            out[r["text_hash"]] = r  # last update per key wins
+        return out
 
     got1 = run("sd1")
     by_copies1 = sorted((r["n_copies"], r["keep_id"]) for r in got1.values())
