@@ -125,12 +125,12 @@ def _parse_trak(data: bytes, start: int, end: int) -> Mp4Track:
     for btype, p, q in _iter_boxes(data, start, end):
         if btype == b"tkhd":
             ver, p0 = _fullbox(data, p)
-            # after version/flags: v0 = creation4 mod4 id4 res4 dur4 res8
-            # layer2 alt2 vol2 res2 matrix36 -> dims at +72 (v1: 8-byte
-            # times/duration -> +88)
+            # after version/flags: v0 = creation4 mod4 id4 res4 dur4 (20)
+            # res8 (28) layer2 alt2 vol2 res2 (36) matrix36 -> dims at +72;
+            # v1 widens the two times and duration to 8 bytes (+12) -> +84
             if ver == 1:
                 tr.track_id = struct.unpack_from(">I", data, p0 + 16)[0]
-                dims_off = p0 + 88
+                dims_off = p0 + 84
             else:
                 tr.track_id = struct.unpack_from(">I", data, p0 + 8)[0]
                 dims_off = p0 + 72

@@ -245,3 +245,52 @@ def test_video_meta_and_frame_sample_operators(spark):
     v2_syncs = [r["frame_idx"] for r in syncs if r["video_id"] == "v2"]
     assert v2_syncs == [0, 4, 8]
     assert all(r["is_sync"] for r in syncs)
+
+
+def test_mp4_version1_boxes():
+    """64-bit (version-1) mvhd/tkhd/mdhd layouts parse correctly, and a
+    track without an stss box treats every sample as a sync sample."""
+    import struct
+
+    from customer_er_spark.mp4 import parse_mp4, sample_table, _box
+
+    ts, dur, n = 6000, 12000, 24
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">BxxxQQIQ", 1, 0, 0, ts, dur)
+        + struct.pack(">hhi", 0x0100, 0, 0)
+        + b"\x00" * 8
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = _box(
+        b"tkhd",
+        # v1: creation8 mod8 id4 res4 dur8, res8, layer/alt/vol/res 8,
+        # matrix 36, width/height 16.16
+        struct.pack(">BxxxQQIxxxxQ", 1, 0, 0, 7, dur)
+        + b"\x00" * 8
+        + struct.pack(">hhhxx", 0, 0, 0)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", 320 << 16, 200 << 16),
+    )
+    mdhd = _box(
+        b"mdhd",
+        struct.pack(">BxxxQQIQ", 1, 0, 0, ts, dur) + struct.pack(">HH", 0x55C4, 0),
+    )
+    stts = _box(
+        b"stts", struct.pack(">BxxxI", 0, 1) + struct.pack(">II", n, dur // n)
+    )
+    stbl = _box(b"stbl", stts)  # NO stss: all samples are sync per spec
+    trak = _box(b"trak", tkhd + _box(b"mdia", mdhd + _box(b"minf", stbl)))
+    data = _box(b"ftyp", b"isom\x00\x00\x02\x00") + _box(b"moov", mvhd + trak)
+
+    m = parse_mp4(data)
+    assert m.timescale == ts and m.duration == dur
+    (tr,) = m.tracks
+    assert tr.track_id == 7
+    assert (tr.width, tr.height) == (320.0, 200.0)  # v1 dims at +84
+    assert tr.timescale == ts and tr.n_samples == n
+    st = sample_table(tr)
+    assert len(st) == n and all(sync for _, _, sync in st)
+    assert st[-1][1] == pytest.approx((n - 1) * (dur // n) / ts)
