@@ -216,3 +216,24 @@ def test_refresh_member_scores(spark, append_run):
     assert res["members"] == members.count()
     # idempotent: a second refresh changes nothing
     assert refresh_member_scores(spark, catalog, CFG)["changed"] == 0
+
+
+def test_write_table_local_contract(spark, catalog):
+    """Driver-local commits obey the same schema contract and manifest
+    shape as distributed writes, and interoperate with them."""
+    rows = [{"stage": "s1", "n": 3}, {"stage": "s2", "n": 5}]
+    meta = catalog.write_table_local(rows, "tiny")
+    assert meta["counts"]["rows_out"] == 2 and meta["n_files"] == 1
+    got = {r["stage"]: r["n"] for r in catalog.read_table("tiny").collect()}
+    assert got == {"s1": 3, "s2": 5}
+    # schema contract: a changed column set raises and leaves the old
+    # snapshot intact
+    with pytest.raises(ValueError, match="schema change"):
+        catalog.write_table_local([{"other": 1}], "tiny")
+    assert catalog.read_table("tiny").count() == 2
+    # distributed overwrite of a locally-written table (same schema) works
+    df = spark.createDataFrame([("s9", 7)], "stage string, n long")
+    catalog.write_table(df, "tiny")
+    assert catalog.read_table("tiny").count() == 1
+    with pytest.raises(ValueError):
+        catalog.write_table_local([], "whatever")

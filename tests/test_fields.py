@@ -145,3 +145,35 @@ def test_numeric_with_units(spark):
     # similarity signal)
     assert _score(spark, cfg, ["30mm", "30 in"])["score"] == \
         pytest.approx(0.96875)
+
+
+def test_fuzzy_field_through_full_pipeline(spark, small_corpus, tmp_path):
+    """FieldDef columns ride the whole flagship pipeline: signatures carry
+    the metadata column, verify folds the FUZZY term into score, and the
+    is_match gate (hence recall) is unchanged by fields."""
+    from customer_er_spark.catalog import SparkCatalog
+    from customer_er_spark.plans.pipeline import recall_vs_truth, run_initial
+    from pyspark.sql import functions as F
+
+    images = (
+        spark.read.parquet(f"{small_corpus['dir']}/images.parquet")
+        .withColumn(
+            "store",
+            F.concat(F.lit("branch no. "), (F.crc32("image_id") % 3).cast("string")),
+        )
+    )
+    cfg = ERConfig(
+        shuffle_partitions=8,
+        fields=(FieldDef("store", "FUZZY", weight=0.5),),
+    )
+    catalog = SparkCatalog(spark, str(tmp_path / "field_cat"))
+    run_initial(spark, images, catalog, cfg)
+    truth = spark.read.parquet(f"{small_corpus['dir']}/truth_pairs.parquet")
+    rec = recall_vs_truth(spark, catalog.read_table("cluster_members"), truth)
+    assert rec["recall"] == 1.0 and rec["precision"] == 1.0
+
+    verified = catalog.read_table("verified_pairs").where("is_match")
+    scores = verified.select("score").collect()
+    assert scores and all(r["score"] is not None for r in scores)
+    # the signature checkpoint carries the field column for future links
+    assert "store" in catalog.read_table("signatures").columns

@@ -463,3 +463,54 @@ def test_minhash_pairs_catalog_durable(spark, catalog):
     assert catalog.read_table("minhash_pairs").count() == rows
     leaked = persisted_ids() - before
     assert not leaked, f"operator left persisted blocks: {leaked}"
+
+
+def test_lsh_and_ivf_topk_catalog_durable(spark, catalog, embeddings):
+    """The ANN operators' catalog mode must produce the same rows as the
+    localCheckpoint mode and leave a committed snapshot."""
+    from customer_er_spark.operators.similarity import ivf_topk, lsh_topk
+
+    local = lsh_topk(embeddings, k=3, dim=64, n_planes=4, n_tables=8)
+    durable = lsh_topk(
+        embeddings, k=3, dim=64, n_planes=4, n_tables=8, catalog=catalog
+    )
+    assert catalog.table_meta("lsh_topk") is not None
+    assert local.exceptAll(durable).count() == 0
+    assert durable.exceptAll(local).count() == 0
+
+    ivf = ivf_topk(
+        embeddings, k=3, dim=64, n_centroids=8, n_probe=4, catalog=catalog
+    )
+    meta = catalog.table_meta("ivf_topk")
+    assert meta is not None and meta["counts"]["rows_out"] == ivf.count()
+
+
+def test_verify_pairs_catalog_mode(spark, catalog):
+    """verify_pairs' internal materializations commit as snapshot tables
+    when a catalog is supplied, with identical scoring output."""
+    from customer_er_spark.operators.verify import verify_pairs
+
+    rows = [
+        ("a", "same caption", 0, [1, 2, 3, 4]),
+        ("b", "same caption", 255, [1, 2, 3, 4]),
+        ("c", "other words entirely", 0, [9, 9, 9, 9]),
+    ]
+    sig = spark.createDataFrame(
+        rows,
+        "image_id string, caption_norm string, phash long, minhash array<long>",
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("a", "c")], "id_l string, id_r string"
+    )
+    cfg = ERConfig(num_hashes=4, bands=2, rows_per_band=2, shuffle_partitions=4)
+    base = {(r["id_l"], r["id_r"]): r for r in verify_pairs(pairs, sig, cfg).collect()}
+    got = {
+        (r["id_l"], r["id_r"]): r
+        for r in verify_pairs(pairs, sig, cfg, catalog=catalog).collect()
+    }
+    assert set(base) == set(got)
+    for k in base:
+        assert base[k]["score"] == got[k]["score"]
+        assert base[k]["is_match"] == got[k]["is_match"]
+    assert catalog.table_meta("verify_tmp_hamming") is not None
+    assert catalog.table_meta("verify_tmp_base") is not None
