@@ -200,6 +200,52 @@ def q_events_hourly(spark, sf):
     )
 
 
+def q_rollup_revenue(spark, sf):
+    # ROLLUP subtotals (SURVEY 2.C lists grouping sets as absent from the
+    # reference; ours adds them) — decimal-exact sums at every level
+    o = _t(spark, sf, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_asof_join(spark, sf):
+    """As-of join (the canonical time-series operator Spark lacks as a
+    built-in): for every (event_type, hour boundary), the latest event of
+    that type strictly before the boundary.  Expressed as the scalable
+    composition — candidate window filter -> per-key arg-max -> join-back
+    with a deterministic event_id tie-break; every shuffle is keyed by
+    event_type so nothing funnels through one partition.  DuckDB replays
+    it with a native ASOF JOIN, so the value hash checks our composition
+    against a reference implementation of the semantics."""
+    e = _t(spark, sf, "events").select(
+        "event_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    bounds = e.select(
+        "event_type",
+        (F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR")).alias("h"),
+    ).distinct()
+    cand = bounds.join(e, "event_type").where(F.col("ts") < F.col("h"))
+    best = cand.groupBy("event_type", "h").agg(F.max("ts").alias("ts"))
+    return (
+        best.join(e, ["event_type", "ts"])
+        .groupBy("event_type", "h", "ts")
+        .agg(F.min("event_id").alias("event_id"))  # tie-break duplicates
+        .select(
+            "event_type",
+            F.col("h").alias("boundary"),
+            F.col("ts").alias("asof_ts"),
+            "event_id",
+        )
+    )
+
+
 def q_topk_events(spark, sf):
     e = _t(spark, sf, "events")
     return (
@@ -544,6 +590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "semi_join": q_semi_join,
         "events_hourly": q_events_hourly,
+        "rollup_revenue": q_rollup_revenue,
+        "asof_join": q_asof_join,
         "topk_events": q_topk_events,
         "distinct_types": q_distinct_types,
         "exact_dedup": q_exact_dedup,
@@ -757,6 +805,32 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "rollup_revenue": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        # asof_join — DuckDB's native ASOF JOIN is the reference
+        # implementation our Spark composition must value-match
+        "asof_join": """
+            WITH e AS (SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                       FROM events),
+            bounds AS (SELECT DISTINCT event_type,
+                              date_trunc('hour', ts) + INTERVAL 1 HOUR AS h
+                       FROM e),
+            matched AS (
+              SELECT b.event_type, b.h, e.ts
+              FROM bounds b ASOF JOIN e
+                ON b.event_type = e.event_type AND e.ts < b.h)
+            SELECT m.event_type, m.h AS boundary, m.ts AS asof_ts,
+                   min(e2.event_id) AS event_id
+            FROM matched m
+            JOIN e e2 ON e2.event_type = m.event_type AND e2.ts = m.ts
+            GROUP BY 1, 2, 3
         """,
         "topk_events": """
             SELECT event_id, value FROM events
