@@ -107,14 +107,22 @@ class IcebergCatalog:
             **json.loads(props.get("er.extra_meta", "{}") or "{}"),
         }
 
-    def snapshot_id(self, name: str) -> str | None:
+    def _snapshot_summary(self, name: str) -> tuple[str | None, dict]:
+        """(snapshot_id, summary map) of the CURRENT snapshot — one
+        metadata-only query against the .snapshots metadata table (no data
+        files are read)."""
         if not self._exists(name):
-            return None
+            return None, {}
         row = self.spark.sql(
-            f"SELECT snapshot_id FROM {self._tbl(name)}.snapshots "
+            f"SELECT snapshot_id, summary FROM {self._tbl(name)}.snapshots "
             "ORDER BY committed_at DESC LIMIT 1"
         ).collect()
-        return str(row[0]["snapshot_id"]) if row else None
+        if not row:
+            return None, {}
+        return str(row[0]["snapshot_id"]), dict(row[0]["summary"] or {})
+
+    def snapshot_id(self, name: str) -> str | None:
+        return self._snapshot_summary(name)[0]
 
     def has_snapshot(
         self,
@@ -138,21 +146,31 @@ class IcebergCatalog:
         config_hash: str,
         inputs: dict | None,
         extra_meta: dict | None,
-        rows_appended: int,
     ) -> dict:
+        """Record commit metadata METADATA-ONLY: row counts come from the
+        current Iceberg snapshot summary (total-records / added-records —
+        written by every commit), never a count() job, and all four
+        properties land in ONE ALTER TABLE statement.  This mirrors the
+        parquet backend's footer-sum commits (catalog.py:_footer_files):
+        a per-commit table scan would reintroduce exactly the fixed cost
+        that path eliminated."""
         tbl = self._tbl(name)
-        rows_out = self.spark.table(tbl).count()
-        counts = {"rows_out": rows_out, "rows_appended": rows_appended}
-        for k, v in {
+        _snap, summary = self._snapshot_summary(name)
+        counts = {
+            "rows_out": int(summary.get("total-records", 0)),
+            "rows_appended": int(summary.get("added-records", 0)),
+        }
+        props = {
             "er.config_hash": config_hash,
             "er.inputs": json.dumps(inputs or {}, sort_keys=True),
             "er.counts": json.dumps(counts),
             "er.extra_meta": json.dumps(extra_meta or {}, sort_keys=True),
-        }.items():
-            vq = v.replace("'", "''")
-            self.spark.sql(
-                f"ALTER TABLE {tbl} SET TBLPROPERTIES ('{k}' = '{vq}')"
-            )
+        }
+        sets = ", ".join(
+            "'{}' = '{}'".format(k, v.replace("'", "''"))
+            for k, v in props.items()
+        )
+        self.spark.sql(f"ALTER TABLE {tbl} SET TBLPROPERTIES ({sets})")
         return self.table_meta(name)
 
     def write_table(
@@ -185,8 +203,7 @@ class IcebergCatalog:
 
             w = w.partitionedBy(*[F.col(c) for c in partition_by])
         w.createOrReplace()
-        n = df.count()  # Iceberg snapshot summary also records this
-        return self._stamp(name, config_hash, inputs, extra_meta, n)
+        return self._stamp(name, config_hash, inputs, extra_meta)
 
     def append_table(
         self,
@@ -209,13 +226,8 @@ class IcebergCatalog:
         ):
             raise ValueError(f"schema change on append to table {name!r}")
         df.writeTo(self._tbl(name)).append()
-        # rows_appended from the NEW current snapshot's summary
-        row = self.spark.sql(
-            f"SELECT summary FROM {self._tbl(name)}.snapshots "
-            "ORDER BY committed_at DESC LIMIT 1"
-        ).collect()
-        appended = int((row[0]["summary"] or {}).get("added-records", 0)) if row else 0
-        return self._stamp(name, config_hash, inputs, extra_meta, appended)
+        # rows_out / rows_appended both come from the new snapshot's summary
+        return self._stamp(name, config_hash, inputs, extra_meta)
 
     def read_table(self, name: str) -> DataFrame:
         if not self._exists(name):
@@ -223,25 +235,34 @@ class IcebergCatalog:
         return self.spark.table(self._tbl(name))
 
     # -- tiny state store ----------------------------------------------------
+    # key/payload are VALUES, never interpolated into SQL text: the read
+    # filters via a Column expression and the writes use Spark 4 named
+    # parameter binding, so a key containing quotes cannot break (or
+    # inject into) the statement.
     def get_state(self, key: str, default=None):
         if not self._exists(self._STATE_TABLE):
             return default
+        from pyspark.sql import functions as F
+
         rows = (
             self.read_table(self._STATE_TABLE)
-            .where(f"key = '{key}'")
+            .where(F.col("key") == F.lit(key))
             .collect()
         )
         return json.loads(rows[0]["value"]) if rows else default
 
     def set_state(self, key: str, value) -> None:
         tbl = self._tbl(self._STATE_TABLE)
-        payload = json.dumps(value).replace("'", "''")
+        payload = json.dumps(value)
         if not self._exists(self._STATE_TABLE):
             self.spark.sql(
                 f"CREATE TABLE {tbl} (key STRING, value STRING) USING iceberg"
             )
-        self.spark.sql(f"DELETE FROM {tbl} WHERE key = '{key}'")
-        self.spark.sql(f"INSERT INTO {tbl} VALUES ('{key}', '{payload}')")
+        self.spark.sql(f"DELETE FROM {tbl} WHERE key = :k", args={"k": key})
+        self.spark.sql(
+            f"INSERT INTO {tbl} VALUES (:k, :v)",
+            args={"k": key, "v": payload},
+        )
 
     # -- management ----------------------------------------------------------
     def drop_table(self, name: str) -> None:

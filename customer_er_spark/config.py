@@ -38,16 +38,29 @@ from dataclasses import asdict, dataclass, field
 #                         free-text twin of FUZZY for multi-word fields
 #   EMAIL                 equality of the lowercased local part before '@'
 #   PINCODE               equality of the digits only
-#   NUMERIC_TOL           |l - r| <= tol after double cast (both-null = 1)
-#   NUMERIC_WITH_UNITS    NUMERIC_TOL on the leading numeric value after
-#                         stripping a unit suffix ("12.5 kg" -> 12.5)
+#   NUMERIC               overlap ratio (set Jaccard) of ALL numbers
+#                         extracted from each side — the reference's
+#                         documented semantics ("extracts numbers from
+#                         strings and compares how many of them are same",
+#                         02A:119-121): "16gb ddr4" vs "ddr4 16 gb" -> 1.0.
+#                         Values are compared as doubles ("016" == "16.0").
+#                         Both sides number-free (or both null) = 1,
+#                         one side number-free/null = 0.
+#   NUMERIC_WITH_UNITS    NUMERIC over number+unit tokens: each number
+#                         keeps its attached unit suffix, normalized to
+#                         lowercase with whitespace stripped ("16 GB" and
+#                         "16gb" both -> "16.0gb"); unit text itself is
+#                         not converted (kg vs lb is a schema problem)
+#   NUMERIC_TOL           |l - r| <= tol after whole-field double cast
+#                         (both-null = 1) — the tolerance variant for
+#                         single-valued numeric columns
 #   NULL_OR_BLANK         a null/blank side never penalizes (sim 1.0);
 #                         both present -> exact equality
 #   DONT_USE              carried through, never scored
 MATCH_TYPES = (
     "EXACT", "FUZZY", "ONLY_ALPHABETS_EXACT", "ONLY_ALPHABETS_FUZZY",
-    "TEXT", "EMAIL", "PINCODE", "NUMERIC_TOL", "NUMERIC_WITH_UNITS",
-    "NULL_OR_BLANK", "DONT_USE",
+    "TEXT", "EMAIL", "PINCODE", "NUMERIC", "NUMERIC_TOL",
+    "NUMERIC_WITH_UNITS", "NULL_OR_BLANK", "DONT_USE",
 )
 
 

@@ -82,10 +82,14 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     catalog=None,
-    table: str = "minhash_pairs",
+    table: str | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via MinHash LSH, verified by the signature
     Jaccard estimate: (id_l, id_r, jacc).
+
+    Catalog-mode scratch output defaults to a per-parameters table name
+    (scratch_name), so concurrent calls with different configs sharing one
+    catalog never clobber each other's intermediates.
 
     Scale shape: band rows -> banded_pairs (ONE exchange, in-partition pair
     expansion, hot-band sub-salting with representative chaining, distinct)
@@ -127,8 +131,10 @@ def minhash_lsh_pairs(
     # signatures — downstream consumers read the committed/checkpointed
     # result.  Pass a catalog for a durable snapshot commit (cluster mode);
     # the default localCheckpoint is the single-box fallback.
-    from customer_er_spark.operators.materialize import materialize
+    from customer_er_spark.operators.materialize import materialize, scratch_name
 
+    if table is None:
+        table = scratch_name("minhash_pairs", cfg.config_hash(), jaccard_min)
     out = materialize(out, catalog, table, config_hash=cfg.config_hash())
     sig.unpersist()
     return out

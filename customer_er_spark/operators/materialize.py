@@ -18,7 +18,20 @@ cached input).  Two modes:
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame
+
+
+def scratch_name(base: str, *params) -> str:
+    """Deterministic per-call scratch-table name: base + short hash of the
+    call parameters.  Two operator calls with different parameters sharing
+    one catalog land in different tables (no silent clobber, no bypassed
+    schema-change guard); identical parameters map to the SAME name, so a
+    re-run overwrites its own (byte-identical) scratch output — the
+    resume-friendly behavior, not a leak."""
+    h = hashlib.sha256(repr(params).encode()).hexdigest()[:8]
+    return f"{base}_{h}"
 
 
 def materialize(

@@ -111,7 +111,7 @@ def lsh_topk(
     max_bucket_size: int = 256,
     shuffle_partitions: int = 32,
     catalog=None,
-    table: str = "lsh_topk",
+    table: str | None = None,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane buckets (n_tables independent
     tables of n_planes bits), candidates = same bucket in any table.
@@ -180,8 +180,12 @@ def lsh_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
-    from customer_er_spark.operators.materialize import materialize
+    from customer_er_spark.operators.materialize import materialize, scratch_name
 
+    if table is None:  # per-parameters name: no cross-call clobber
+        table = scratch_name(
+            "lsh_topk", k, dim, n_planes, n_tables, seed, max_bucket_size
+        )
     out = materialize(  # n*k rows — small; durable when a catalog is given
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -349,7 +353,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     max_train: int = 65536,
     catalog=None,
-    table: str = "ivf_topk",
+    table: str | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF: (query_id, neighbor_id, cos, rank).
 
@@ -413,8 +417,12 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
-    from customer_er_spark.operators.materialize import materialize
+    from customer_er_spark.operators.materialize import materialize, scratch_name
 
+    if table is None:  # per-parameters name: no cross-call clobber
+        table = scratch_name(
+            "ivf_topk", k, dim, n_centroids, n_probe, iters, cell_cap, max_train
+        )
     out = materialize(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

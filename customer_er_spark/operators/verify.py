@@ -117,10 +117,15 @@ def field_sim(fd: FieldDef) -> Column:
         return _fuzzy_sim(alpha(l), alpha(r))
     if fd.match_type == "TEXT":
         # word-token Jaccard: the free-text twin of FUZZY; blank collapses
-        # to null so the null contract stays uniform
+        # to null so the null contract stays uniform.  trim runs AFTER the
+        # whitespace collapse: trim() strips only spaces, so a leading tab
+        # trimmed first would survive the collapse as a leading space and
+        # split() would mint an empty token that inflates the union.
         def toks(c):
             s = F.nullif(
-                F.regexp_replace(F.lower(F.trim(c.cast("string"))), r"\s+", " "),
+                F.trim(
+                    F.regexp_replace(F.lower(c.cast("string")), r"\s+", " ")
+                ),
                 F.lit(""),
             )
             return F.when(s.isNotNull(), F.array_distinct(F.split(s, " ")))
@@ -138,19 +143,57 @@ def field_sim(fd: FieldDef) -> Column:
         def digits(c):
             return F.regexp_replace(c.cast("string"), "[^0-9]", "")
         return F.when(digits(l).eqNullSafe(digits(r)), one).otherwise(zero)
-    if fd.match_type in ("NUMERIC_TOL", "NUMERIC_WITH_UNITS"):
-        if fd.match_type == "NUMERIC_WITH_UNITS":
-            # leading numeric value; a trailing unit suffix ("12.5 kg",
-            # "30mm") is ignored.  No-match extracts '' -> null cast.
-            def numval(c):
-                return F.regexp_extract(
-                    F.trim(c.cast("string")),
-                    r"^[-+]?[0-9]*\.?[0-9]+([eE][-+]?[0-9]+)?",
-                    0,
-                ).cast("double")
-            ld, rd = numval(l), numval(r)
+    if fd.match_type in ("NUMERIC", "NUMERIC_WITH_UNITS"):
+        # Zingg-documented semantics (02A:119-121): extract ALL numbers and
+        # score the overlap of the two sets.  NUMERIC compares the numeric
+        # values ("016" == "16.0" via double cast); _WITH_UNITS keeps each
+        # number's attached unit suffix as part of the token ("16 GB" and
+        # "16gb" both normalize to "16.0gb").  Pure Catalyst:
+        # regexp_extract_all + transform + array_intersect.
+        if fd.match_type == "NUMERIC":
+            def toks(c):
+                s = F.lower(c.cast("string"))
+                return F.when(
+                    s.isNotNull(),
+                    F.array_distinct(
+                        F.transform(
+                            F.regexp_extract_all(
+                                s, F.lit(r"[0-9]*\.?[0-9]+"), F.lit(0)
+                            ),
+                            lambda x: x.cast("double"),
+                        )
+                    ),
+                )
         else:
-            ld, rd = l.cast("double"), r.cast("double")
+            def toks(c):
+                s = F.lower(c.cast("string"))
+                raw = F.regexp_extract_all(
+                    s, F.lit(r"[0-9]*\.?[0-9]+\s*[a-z]*"), F.lit(0)
+                )
+                return F.when(
+                    s.isNotNull(),
+                    F.array_distinct(
+                        F.transform(
+                            raw,
+                            lambda t: F.concat(
+                                F.regexp_extract(t, r"([0-9]*\.?[0-9]+)", 1)
+                                .cast("double")
+                                .cast("string"),
+                                F.regexp_replace(t, r"[^a-z]", ""),
+                            ),
+                        )
+                    ),
+                )
+        tl, tr = toks(l), toks(r)
+        return (
+            F.when(tl.isNull() & tr.isNull(), one)
+            .when(tl.isNull() | tr.isNull(), zero)
+            .when((F.size(tl) == 0) & (F.size(tr) == 0), one)
+            .when((F.size(tl) == 0) | (F.size(tr) == 0), zero)
+            .otherwise(_set_jaccard(tl, tr))
+        )
+    if fd.match_type == "NUMERIC_TOL":
+        ld, rd = l.cast("double"), r.cast("double")
         return (
             F.when(ld.isNull() & rd.isNull(), one)
             .when(
@@ -175,7 +218,7 @@ def verify_pairs(
     signatures: DataFrame,
     cfg: ERConfig,
     catalog=None,
-    table_prefix: str = "verify_tmp",
+    table_prefix: str | None = None,
 ) -> DataFrame:
     """-> (id_l, id_r, hamming, caption_sim, image_sim, score, is_match)
 
@@ -219,9 +262,13 @@ def verify_pairs(
     )
     # narrow (3 columns) but feeds both branches: materialize once — a
     # durable snapshot commit when a catalog is supplied (cluster mode),
-    # localCheckpoint otherwise (single-box fallback)
+    # localCheckpoint otherwise (single-box fallback).  The default scratch
+    # prefix folds in the config hash so two pipelines sharing one catalog
+    # never clobber each other's intermediates.
     from customer_er_spark.operators.materialize import materialize
 
+    if table_prefix is None:
+        table_prefix = f"verify_tmp_{cfg.config_hash()[:8]}"
     ph = materialize(ph, catalog, f"{table_prefix}_hamming",
                      config_hash=cfg.config_hash())
     passed = ph.where(F.col("hamming") <= F.lit(cfg.phash_hamming_max))

@@ -96,11 +96,13 @@ def stateful_dedup_counts(
     This is the arbitrary-stateful path the built-in operators can't
     express: dropDuplicates* can only SUPPRESS rows, while this op emits a
     fresh aggregate row per key per batch (the live duplicate census a
-    training-data ingest dashboards on), with keep_id = global first/
-    minimum id across ALL batches so the survivor choice matches the batch
-    exact_dedup operator.  State per key is two scalars (bounded); state
-    lives in the stream checkpoint, so a restarted query resumes its
-    counts instead of starting over (covered by test_streaming.py).
+    training-data ingest dashboards on), with keep_id = global minimum id
+    across ALL batches IN THE ID COLUMN'S NATIVE TYPE, so the survivor
+    choice matches the batch exact_dedup operator (F.min on the native
+    type) exactly — numeric ids compare numerically, not lexicographically.
+    State per key is two scalars (bounded); state lives in the stream
+    checkpoint, so a restarted query resumes its counts instead of
+    starting over (covered by test_streaming.py).
 
     Scale shape: groupBy(text_hash) shuffles 8-byte-ish keys + ids only
     (text is dropped before the shuffle); the state store is hash-
@@ -111,9 +113,14 @@ def stateful_dedup_counts(
 
     from customer_er_spark.functions.text import normalize_caption
 
+    # keep_id stays in the id column's NATIVE type end-to-end: pandas
+    # min() on an int64 column is numeric, matching batch F.min — casting
+    # to string here would silently flip numeric ids to lexicographic
+    # order (min{5,10} -> "10").
+    id_type = docs.schema[id_col].dataType.simpleString()
     keyed = docs.select(
         F.md5(normalize_caption(F.col(text_col))).alias("text_hash"),
-        F.col(id_col).cast("string").alias("rid"),
+        F.col(id_col).alias("rid"),
     )
 
     def update(key, pdfs, state: GroupState):
@@ -129,8 +136,8 @@ def stateful_dedup_counts(
 
     return keyed.groupBy("text_hash").applyInPandasWithState(
         update,
-        outputStructType="text_hash string, n_copies long, keep_id string",
-        stateStructType="n_copies long, keep_id string",
+        outputStructType=f"text_hash string, n_copies long, keep_id {id_type}",
+        stateStructType=f"n_copies long, keep_id {id_type}",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

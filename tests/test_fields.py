@@ -133,18 +133,41 @@ def test_only_alphabets_fuzzy_and_text(spark):
         pytest.approx((0.9375 + 1 / 3) / 2)
 
 
-def test_numeric_with_units(spark):
-    cfg = ERConfig(
-        **CFG_KW, fields=(FieldDef("email", "NUMERIC_WITH_UNITS", tol=0.5),)
-    )
-    assert _score(spark, cfg, ["12.5 kg", "12.4kg"])["score"] == \
+def test_numeric_overlap(spark):
+    """NUMERIC = overlap of ALL extracted numbers (Zingg 02A:119-121), not
+    a single-value tolerance compare."""
+    cfg = ERConfig(**CFG_KW, fields=(FieldDef("email", "NUMERIC"),))
+    # {16, 4} vs {4, 16}: order and attachment irrelevant -> 1.0
+    assert _score(spark, cfg, ["16gb ddr4", "ddr4 16 gb"])["score"] == \
         pytest.approx(0.96875)
-    assert _score(spark, cfg, ["12.5 kg", "13.5 kg"])["score"] == \
+    # {16, 4} vs {8, 3}: no overlap -> 0.0
+    assert _score(spark, cfg, ["16gb ddr4", "8gb ddr3"])["score"] == \
         pytest.approx(0.46875)
-    # unit text is ignored entirely (kg vs lb is a schema problem, not a
-    # similarity signal)
-    assert _score(spark, cfg, ["30mm", "30 in"])["score"] == \
+    # numbers compare as VALUES: 016 == 16.0
+    assert _score(spark, cfg, ["016 units", "16.0 units"])["score"] == \
         pytest.approx(0.96875)
+    # partial overlap {16,4,3200} vs {16,4}: inter 2, union 3
+    assert _score(spark, cfg, ["16gb ddr4 3200mhz", "ddr4 16gb"])["score"] == \
+        pytest.approx((0.9375 + 2 / 3) / 2)
+    # both number-free = agree (1.0); one number-free = disagree (0.0)
+    assert _score(spark, cfg, ["none", "n/a"])["score"] == \
+        pytest.approx(0.96875)
+    assert _score(spark, cfg, ["none", "16gb"])["score"] == \
+        pytest.approx(0.46875)
+
+
+def test_numeric_with_units(spark):
+    """NUMERIC_WITH_UNITS keeps each number's unit suffix in the token:
+    '16 GB' == '16gb' but '30mm' != '30 in'."""
+    cfg = ERConfig(**CFG_KW, fields=(FieldDef("email", "NUMERIC_WITH_UNITS"),))
+    assert _score(spark, cfg, ["16gb ddr4", "ddr4 16 GB"])["score"] == \
+        pytest.approx(0.96875)
+    assert _score(spark, cfg, ["16gb ddr4", "8gb ddr3"])["score"] == \
+        pytest.approx(0.46875)
+    # same value, different unit -> no overlap (units are tokens, not
+    # converted quantities; kg vs lb is a schema problem)
+    assert _score(spark, cfg, ["30mm", "30 in"])["score"] == \
+        pytest.approx(0.46875)
 
 
 def test_fuzzy_field_through_full_pipeline(spark, small_corpus, tmp_path):

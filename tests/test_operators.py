@@ -453,14 +453,17 @@ def test_minhash_pairs_catalog_durable(spark, catalog):
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         return set(jmap.keySet().toArray())
 
+    from customer_er_spark.operators.materialize import scratch_name
+
+    cfg8 = ERConfig(shuffle_partitions=8)
     before = persisted_ids()
-    out = minhash_lsh_pairs(docs, ERConfig(shuffle_partitions=8),
-                            jaccard_min=0.5, catalog=catalog)
+    out = minhash_lsh_pairs(docs, cfg8, jaccard_min=0.5, catalog=catalog)
     rows = out.count()
-    meta = catalog.table_meta("minhash_pairs")
+    tname = scratch_name("minhash_pairs", cfg8.config_hash(), 0.5)
+    meta = catalog.table_meta(tname)
     assert meta is not None and meta["counts"]["rows_out"] == rows
     # the handle reads the committed parquet, and nothing stayed cached
-    assert catalog.read_table("minhash_pairs").count() == rows
+    assert catalog.read_table(tname).count() == rows
     leaked = persisted_ids() - before
     assert not leaked, f"operator left persisted blocks: {leaked}"
 
@@ -468,20 +471,25 @@ def test_minhash_pairs_catalog_durable(spark, catalog):
 def test_lsh_and_ivf_topk_catalog_durable(spark, catalog, embeddings):
     """The ANN operators' catalog mode must produce the same rows as the
     localCheckpoint mode and leave a committed snapshot."""
+    from customer_er_spark.operators.materialize import scratch_name
     from customer_er_spark.operators.similarity import ivf_topk, lsh_topk
 
     local = lsh_topk(embeddings, k=3, dim=64, n_planes=4, n_tables=8)
     durable = lsh_topk(
         embeddings, k=3, dim=64, n_planes=4, n_tables=8, catalog=catalog
     )
-    assert catalog.table_meta("lsh_topk") is not None
+    assert catalog.table_meta(
+        scratch_name("lsh_topk", 3, 64, 4, 8, 17, 256)
+    ) is not None
     assert local.exceptAll(durable).count() == 0
     assert durable.exceptAll(local).count() == 0
 
     ivf = ivf_topk(
         embeddings, k=3, dim=64, n_centroids=8, n_probe=4, catalog=catalog
     )
-    meta = catalog.table_meta("ivf_topk")
+    meta = catalog.table_meta(
+        scratch_name("ivf_topk", 3, 64, 8, 4, 25, 4096, 65536)
+    )
     assert meta is not None and meta["counts"]["rows_out"] == ivf.count()
 
 
@@ -512,5 +520,6 @@ def test_verify_pairs_catalog_mode(spark, catalog):
     for k in base:
         assert base[k]["score"] == got[k]["score"]
         assert base[k]["is_match"] == got[k]["is_match"]
-    assert catalog.table_meta("verify_tmp_hamming") is not None
-    assert catalog.table_meta("verify_tmp_base") is not None
+    prefix = f"verify_tmp_{cfg.config_hash()[:8]}"
+    assert catalog.table_meta(f"{prefix}_hamming") is not None
+    assert catalog.table_meta(f"{prefix}_base") is not None

@@ -170,13 +170,14 @@ def test_stateful_dedup_counts(spark, tmp_path):
 
     got1 = run("sd1")
     by_copies1 = sorted((r["n_copies"], r["keep_id"]) for r in got1.values())
-    assert by_copies1 == [(1, "12"), (2, "10")]
+    assert by_copies1 == [(1, 12), (2, 10)]
 
     # second batch arrives; a FRESH query on the same checkpoint resumes
     # the stored per-key state — alpha grows to 3 copies and the survivor
-    # flips to the new global minimum id "10" -> "5"... (string order)
+    # flips to the new global NUMERIC minimum 10 -> 5 (native-type min,
+    # matching batch exact_dedup; string order would keep "10")
     spark.createDataFrame(rows2, schema).write.parquet(f"{src}/b2")
     got2 = run("sd2")
     by_copies2 = sorted((r["n_copies"], r["keep_id"]) for r in got2.values())
-    assert (3, "10") in by_copies2  # 2 prior + 1 new; "10" < "5" as strings
-    assert (1, "13") in by_copies2  # new key emitted with fresh state
+    assert (3, 5) in by_copies2  # 2 prior + 1 new; numeric min wins
+    assert (1, 13) in by_copies2  # new key emitted with fresh state
