@@ -395,6 +395,47 @@ def q_fuzzy_sim(spark, sf):
     )
 
 
+def q_numeric_overlap(spark, sf):
+    """The NUMERIC MatchType kernel (operators/verify.field_sim — overlap
+    of ALL extracted numbers, Zingg 02A:119-121) value-checked end-to-end:
+    consecutive documents scored as a structured-field pair.  The input
+    string appends n_chars and doc_id%100 so every document carries
+    numbers (non-vacuous even if the text has none).  Output is the
+    integer (n_inter, n_sum) pair per the no-round rule; DuckDB replays
+    regexp_extract_all + double cast + distinct + equi-join.  Both engines
+    parse number strings with correctly-rounded strtod, so double equality
+    is deterministic."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.lower(F.col("text")),
+            F.col("n_chars").cast("string"),
+            (F.col("doc_id") % 100).cast("string"),
+        ).alias("s"),
+    )
+
+    def nums(c):
+        return F.array_distinct(
+            F.transform(
+                F.regexp_extract_all(c, F.lit(r"[0-9]*\.?[0-9]+"), F.lit(0)),
+                lambda x: x.cast("double"),
+            )
+        )
+
+    left = d.select(F.col("doc_id").alias("id_l"), nums(F.col("s")).alias("nl"))
+    right = d.select(
+        (F.col("doc_id") - 1).alias("id_l"), nums(F.col("s")).alias("nr")
+    )
+    pairs = left.join(right, "id_l")
+    inter = F.size(F.array_intersect("nl", "nr")).cast("long")
+    return pairs.select(
+        "id_l",
+        inter.alias("n_inter"),
+        (F.size("nl") + F.size("nr")).cast("long").alias("n_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal: MP4 container parsing (deterministic synthesized table —
 # no video column exists in the driver testdata; the input is built
@@ -606,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_report": q_calibration_report,
         "lang_id": q_lang_id,
         "fuzzy_sim": q_fuzzy_sim,
+        "numeric_overlap": q_numeric_overlap,
         "embedding_topk": q_embedding_topk,
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_topk_ivf": q_embedding_topk_ivf,
@@ -923,6 +965,33 @@ def oracle_sql() -> dict[str, str]:
             inter AS (SELECT a.doc_id AS id_l, count(*) AS n_inter
                       FROM grams a JOIN grams b
                         ON a.gram = b.gram AND b.doc_id = a.doc_id + 1
+                      GROUP BY 1)
+            SELECT sl.doc_id AS id_l,
+                   COALESCE(i.n_inter, 0) AS n_inter,
+                   sl.n + sr.n AS n_sum
+            FROM sizes sl
+            JOIN sizes sr ON sr.doc_id = sl.doc_id + 1
+            LEFT JOIN inter i ON i.id_l = sl.doc_id
+        """,
+        # numeric_overlap — DuckDB replays the NUMERIC MatchType kernel:
+        # extract all numbers, cast to double, distinct per doc, intersect
+        # counts on consecutive doc_id pairs (same integer-pair rule).
+        # sizes covers every doc because the composed string always
+        # carries at least one number (n_chars is appended).
+        "numeric_overlap": """
+            WITH d AS (SELECT doc_id,
+                              lower(text) || ' ' || CAST(n_chars AS VARCHAR)
+                              || ' ' || CAST(doc_id % 100 AS VARCHAR) AS s
+                       FROM documents),
+            toks AS (SELECT doc_id,
+                            unnest(regexp_extract_all(s, '[0-9]*\\.?[0-9]+'))
+                              AS t
+                     FROM d),
+            nums AS (SELECT DISTINCT doc_id, CAST(t AS DOUBLE) AS v FROM toks),
+            sizes AS (SELECT doc_id, count(*) AS n FROM nums GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_l, count(*) AS n_inter
+                      FROM nums a JOIN nums b
+                        ON a.v = b.v AND b.doc_id = a.doc_id + 1
                       GROUP BY 1)
             SELECT sl.doc_id AS id_l,
                    COALESCE(i.n_inter, 0) AS n_inter,

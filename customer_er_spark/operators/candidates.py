@@ -108,6 +108,27 @@ def salted_buckets(bands: DataFrame, cfg: ERConfig) -> tuple[DataFrame, DataFram
     return salted_bands(bands, cfg.max_band_size, id_col="image_id")
 
 
+def candidate_pairs_from_bands(
+    bands: DataFrame, cfg: ERConfig
+) -> tuple[DataFrame, DataFrame]:
+    """candidate_pairs over a PRECOMPUTED (image_id, phash, band_key)
+    band table — the entry point for callers that persist band rows (the
+    pipeline commits them as `priors_bands` so increments can join against
+    the registry's bands instead of re-exploding every prior record)."""
+    # ONE exchange total (see operators/banded.py for the full shape): the
+    # Hamming feasibility gate runs in-partition, in codegen, BEFORE the
+    # distinct shuffle — the quadratic tail of random band-key collisions
+    # (measured 17.4M of 17.4M pairs at 240k images) is never shuffled.
+    return banded_pairs(
+        bands,
+        id_col="image_id",
+        payload_cols=("phash",),
+        gate=f"bit_count({{l}}.phash ^ {{r}}.phash) <= {cfg.phash_hamming_max}",
+        max_band_size=cfg.max_band_size,
+        shuffle_partitions=cfg.shuffle_partitions,
+    )
+
+
 def candidate_pairs(
     signatures: DataFrame, cfg: ERConfig
 ) -> tuple[DataFrame, DataFrame]:
@@ -124,16 +145,4 @@ def candidate_pairs(
     band_stats (degraded bands exact + band-size histogram, see
     salted_buckets) feeds the metrics table.
     """
-    # ONE exchange total (see operators/banded.py for the full shape): the
-    # Hamming feasibility gate runs in-partition, in codegen, BEFORE the
-    # distinct shuffle — the quadratic tail of random band-key collisions
-    # (measured 17.4M of 17.4M pairs at 240k images) is never shuffled.
-    pairs, band_stats = banded_pairs(
-        band_keys(signatures, cfg),
-        id_col="image_id",
-        payload_cols=("phash",),
-        gate=f"bit_count({{l}}.phash ^ {{r}}.phash) <= {cfg.phash_hamming_max}",
-        max_band_size=cfg.max_band_size,
-        shuffle_partitions=cfg.shuffle_partitions,
-    )
-    return pairs, band_stats
+    return candidate_pairs_from_bands(band_keys(signatures, cfg), cfg)

@@ -10,9 +10,15 @@ matches (03:202-208); accept/review/reject thresholds are prose only
 inserted for records not already present (03:397).
 
 Ours, made concrete and cheaper:
-  * priors are NOT re-blocked each run — the initial run's signature
-    checkpoint is reused (the reference recomputes Zingg blocking over the
-    full priors table every time);
+  * priors are banded EXACTLY ONCE, ever: the initial pipeline commits a
+    `priors_bands(band_key, image_id, phash)` table and every merge
+    appends the increment's band rows; run_link joins the incoming side's
+    band keys against that table, so an increment costs O(|incoming|)
+    compute — no signature recompute, no band explode, no shuffle over
+    the registry (the reference recomputes Zingg blocking over the full
+    priors table every time).  The only registry-sized work left per
+    increment is the columnar scan of priors_bands under a broadcast
+    join, which Iceberg/bucketing can prune further on a cluster;
   * the bipartite band join only keeps cross-source pairs by construction,
     with the same hot-band sub-bucket salting as the initial pipeline;
   * the threshold rules are code, not prose: accept iff best score >=
@@ -34,9 +40,11 @@ Stale-score note (documented trade-off of insert-only): z_min/maxScore of
 PRIOR member rows are not rewritten when a later link edge attaches to
 them — a member's scores reflect the verified edges known when its row was
 written.  Accepted link edges ARE persisted into verified_pairs (with the
-real prior endpoint), so scores stay recomputable — and
-refresh_member_scores below is that recomputation, runnable as an
-occasional compaction-style maintenance job.
+real prior endpoint), so scores stay recomputable: refresh_member_scores
+below folds the edge files appended since the last refresh into an
+append-only patch table at O(churn) cost, current_member_scores serves the
+merged view (merge-on-read), and compact=True squashes patches into the
+stored rows on a compaction schedule.
 """
 
 from __future__ import annotations
@@ -58,26 +66,40 @@ VERIFY_COLS = [
 
 
 def link_pairs(
-    priors_sig: DataFrame, incoming_sig: DataFrame, cfg: ERConfig
+    priors_bands: DataFrame, incoming_sig: DataFrame, cfg: ERConfig
 ) -> tuple[DataFrame, DataFrame]:
     """Bipartite LSH candidates: (pairs(id_l=prior, id_r=incoming),
     band_stats) — cross-source only, no within-source pairs (those belong
     to match, not link).
 
-    Skew policy mirrors candidate_pairs: both sides are unioned, bucket
-    sizes counted once, and hot bands (prior+incoming members >
-    max_band_size) are salted into sub-buckets; cross-side pairs are
-    generated within each sub-bucket, so one hot band shared by m priors
-    and n incoming yields O((m+n)*max_band_size) pairs, never O(m*n).
-    band_stats records every degraded band (same audit contract as the
-    initial pipeline)."""
+    `priors_bands` is the COMMITTED (band_key, image_id, phash) table the
+    initial pipeline wrote and every merge appends to — priors are banded
+    exactly once per record, ever.  Per increment, only the incoming side
+    is exploded (O(|incoming|) band rows); the registry side is reduced to
+    the bands the increment actually touches by an inner join against the
+    increment's distinct band keys BEFORE any shuffle.  The distinct-key
+    side is tiny for a micro-batch, so AQE plans the join as a broadcast
+    hash join over the priors_bands scan: the registry is read (columnar,
+    3 narrow columns) but never exploded, shuffled, or window-counted.
+    Dropping priors in untouched bands is lossless — a band with no
+    incoming member can produce no cross pair.
+
+    Skew policy mirrors candidate_pairs, applied to the SURVIVING rows:
+    touched-band priors + incoming bands are unioned, bucket sizes counted
+    once, and hot bands (prior+incoming members > max_band_size) are
+    salted into sub-buckets; cross-side pairs are generated within each
+    sub-bucket, so one hot band shared by m priors and n incoming yields
+    O((m+n)*max_band_size) pairs, never O(m*n).  band_stats records every
+    degraded band among the touched bands (the only ones this run can
+    degrade — same audit contract as the initial pipeline)."""
     from customer_er_spark.operators.candidates import salted_buckets
 
-    pb = band_keys(priors_sig, cfg).select(
-        "band_key", "image_id", "phash", F.lit("p").alias("side")
-    )
     ib = band_keys(incoming_sig, cfg).select(
         "band_key", "image_id", "phash", F.lit("i").alias("side")
+    )
+    inc_keys = ib.select("band_key").distinct()
+    pb = priors_bands.join(inc_keys, "band_key").select(
+        "band_key", "image_id", "phash", F.lit("p").alias("side")
     )
     both = pb.unionByName(ib).repartition(cfg.shuffle_partitions, "band_key")
     salted, band_stats = salted_buckets(both, cfg)
@@ -165,6 +187,21 @@ def run_link(
             return _link_summary(catalog, resumed=True)
 
     priors_sig = catalog.read_table("signatures")
+    # the committed registry band table (written by run_initial, appended
+    # by every merge).  Missing or config-stale (registries created before
+    # the banded-once contract, or a band-reshaping config change): re-band
+    # the registry ONCE and commit, restoring O(|incoming|) increments.
+    pb_meta = catalog.table_meta("priors_bands")
+    if pb_meta is None or pb_meta.get("config_hash") != ch:
+        catalog.write_table(
+            band_keys(priors_sig, cfg).select("band_key", "image_id", "phash"),
+            "priors_bands",
+            config_hash=ch,
+            inputs={"signatures": catalog.snapshot_id("signatures") or ""},
+            overwrite_schema=True,
+        )
+    priors_bands = catalog.read_table("priors_bands")
+
     inc_sig = compute_signatures(incoming, cfg)
     catalog.write_table(
         inc_sig, "incoming_signatures", config_hash=ch,
@@ -174,12 +211,13 @@ def run_link(
     link_inputs = {
         "run_key": run_key or "",
         "incoming_signatures": catalog.snapshot_id("incoming_signatures") or "",
+        "priors_bands": catalog.snapshot_id("priors_bands") or "",
     }
 
     # checkpoint candidates through the catalog: the bipartite band join
     # executes exactly once (the write action); verify reads the committed
     # parquet and the summary count comes free from the manifest.
-    raw_pairs, link_band_stats = link_pairs(priors_sig, inc_sig, cfg)
+    raw_pairs, link_band_stats = link_pairs(priors_bands, inc_sig, cfg)
     catalog.write_table(
         link_band_stats, "link_band_stats", config_hash=ch, inputs=link_inputs
     )
@@ -263,6 +301,46 @@ def run_link(
     catalog.write_table(
         decisions, "link_decisions", config_hash=ch, inputs=link_inputs
     )
+
+    # human-in-the-loop artifact (03:283-288 surfaces review candidates to
+    # a person): every candidate edge of every review-decision incoming
+    # record, with BOTH sides' captions and the full score breakdown, so a
+    # reviewer can adjudicate without re-running anything.  Tiny table
+    # (review subset only), same lineage stamp as the decisions it mirrors.
+    review = decisions.where("decision = 'review'").select(
+        F.col("image_id").alias("id_r"), "best_score", "second_score"
+    )
+    link_review = (
+        linked_raw.join(review, "id_r")
+        .join(
+            priors_sig.select(
+                F.col("image_id").alias("id_l"),
+                F.col("caption_norm").alias("caption_prior"),
+            ),
+            "id_l",
+        )
+        .join(
+            inc_sig.select(
+                F.col("image_id").alias("id_r"),
+                F.col("caption_norm").alias("caption_incoming"),
+            ),
+            "id_r",
+        )
+        .select(
+            F.col("id_r").alias("incoming_id"),
+            F.col("id_l").alias("prior_id"),
+            "cluster_id",
+            "score",
+            "hamming",
+            "caption_incoming",
+            "caption_prior",
+            "best_score",
+            "second_score",
+        )
+    )
+    catalog.write_table(
+        link_review, "link_review", config_hash=ch, inputs=link_inputs
+    )
     return _link_summary(catalog, resumed=False)
 
 
@@ -300,7 +378,8 @@ def run_incremental_match(
     # recorded summary without touching candidates/verify/CC.
     if all(
         (catalog.table_meta(t) or {}).get("inputs") == lineage
-        for t in ("cluster_members", "verified_pairs", "signatures")
+        for t in ("cluster_members", "verified_pairs", "signatures",
+                  "priors_bands")
     ):
         saved = catalog.get_state(f"incr_summary::{inc_snap}")
         if saved is not None:
@@ -400,6 +479,13 @@ def run_incremental_match(
         lambda: new_edges.withColumn("is_match", F.lit(True)), "verified_pairs"
     )
     append_once(lambda: inc_sig, "signatures")
+    # keep the registry band table current: the NEXT increment's link join
+    # must see this increment's records as priors (banded here, once —
+    # O(|incoming|) band rows; never re-derived from the registry again)
+    append_once(
+        lambda: band_keys(inc_sig, cfg).select("band_key", "image_id", "phash"),
+        "priors_bands",
+    )
 
     # clusters is a small aggregate over members — recomputed, not appended
     members_now = catalog.read_table("cluster_members")
@@ -424,61 +510,150 @@ def run_incremental_match(
     return summary
 
 
+_SR_APPLIED = "score_refresh::applied_paths"
+_PATCHES = "member_score_patches"
+
+
+def current_member_scores(
+    spark: SparkSession, catalog: SparkCatalog
+) -> DataFrame:
+    """cluster_members with score patches folded in (merge-on-read).
+
+    The append-only merge never rewrites PRIOR member rows, so a prior
+    that later gains link edges carries stale (or NULL) z_min/maxScore in
+    its stored row; refresh_member_scores appends per-member min/max
+    PATCHES instead of rewriting the table.  This view reconstitutes the
+    current scores: min/max are associative + idempotent, so folding every
+    patch with least/greatest (null-skipping) over the stored row equals
+    the ground-truth recompute from all edges.  This is the parquet-
+    manifest analog of Iceberg's merge-on-read (data files + delta files,
+    folded at scan time, squashed by compaction)."""
+    members = catalog.read_table("cluster_members")
+    if catalog.table_meta(_PATCHES) is None:
+        return members
+    agg = (
+        catalog.read_table(_PATCHES)
+        .groupBy("image_id")
+        .agg(F.min("d_min").alias("p_min"), F.max("d_max").alias("p_max"))
+    )
+    out_cols = members.columns
+    return (
+        members.join(agg, "image_id", "left")
+        .withColumn("z_minScore", F.least("z_minScore", "p_min"))
+        .withColumn("z_maxScore", F.greatest("z_maxScore", "p_max"))
+        .select(*out_cols)
+    )
+
+
 def refresh_member_scores(
-    spark: SparkSession, catalog: SparkCatalog, cfg: ERConfig | None = None
+    spark: SparkSession,
+    catalog: SparkCatalog,
+    cfg: ERConfig | None = None,
+    compact: bool = False,
 ) -> dict:
-    """Maintenance op: recompute every member's z_min/maxScore from the
-    verified_pairs edge table and commit a fresh cluster_members snapshot.
+    """Maintenance op: bring member z_min/maxScore up to date with the
+    edges appended since the last refresh — at O(churn) cost, not
+    O(registry).
 
-    The append-only merge deliberately never rewrites PRIOR member rows, so
-    a prior that later gains link edges carries stale (or NULL) scores
-    until this job runs — the documented insert-only trade.  This is the
-    promised recomputation path: verified_pairs holds every accepted edge
-    (within-run matches AND accepted link edges with their real prior
-    endpoints), so a single groupBy over it is the ground truth for member
-    scores.  Run it occasionally, like a compaction.
+    Incremental mode (default): min/max are MONOTONE under the append-only
+    edge contract (edges are only ever added), so the refresh needs to
+    read ONLY the verified_pairs data files appended since the last
+    refresh (tracked in catalog state by file path — "the appended data
+    files' lineage").  It aggregates per-member min/max over just those
+    delta files and APPENDS the result to a patch table; stored member
+    rows are untouched.  Folding a patch is idempotent (re-applying the
+    same edges cannot change a min or max), so a crash between the patch
+    append and the state update replays harmlessly.  Readers get current
+    scores from current_member_scores(); the stored rows + patches pair is
+    exactly Iceberg merge-on-read, and on an Iceberg deployment this whole
+    op maps to MERGE INTO with file-level skipping.
 
-    Cost: one scan of verified_pairs + one rewrite of cluster_members.  On
-    an Iceberg deployment this maps to MERGE INTO with file-level skipping
-    (only data files holding touched members rewrite); the parquet-manifest
-    backend rewrites the table, which is still one bounded batch job, not
-    per-increment work.
+    compact=True additionally squashes: recompute every member's scores
+    from the FULL verified_pairs table (ground truth), rewrite
+    cluster_members once, drop the patch table.  That is the O(registry)
+    job — run it like a compaction, on a schedule, never per increment.
     """
     cfg = cfg or ERConfig()
-    edges = catalog.read_table("verified_pairs").where("is_match")
-    per_member = (
+    vp_meta = catalog.table_meta("verified_pairs")
+    all_paths = list(vp_meta.get("paths") or [vp_meta["path"]])
+
+    if compact:
+        edges = catalog.read_table("verified_pairs").where("is_match")
+        per_member = (
+            edges.select(F.col("id_l").alias("image_id"), "score")
+            .unionByName(edges.select(F.col("id_r").alias("image_id"), "score"))
+            .groupBy("image_id")
+            .agg(
+                F.min("score").alias("z_minScore"),
+                F.max("score").alias("z_maxScore"),
+            )
+        )
+        members = catalog.read_table("cluster_members")
+        out_cols = members.columns
+        refreshed = (
+            members.withColumnRenamed("z_minScore", "old_min")
+            .withColumnRenamed("z_maxScore", "old_max")
+            .join(per_member, "image_id", "left")
+            .withColumn(
+                "changed",
+                ~(
+                    F.col("z_minScore").eqNullSafe(F.col("old_min"))
+                    & F.col("z_maxScore").eqNullSafe(F.col("old_max"))
+                ),
+            )
+        )
+        n_changed = refreshed.where("changed").count()
+        meta = catalog.write_table(
+            refreshed.select(*out_cols),
+            "cluster_members",
+            config_hash=cfg.config_hash(),
+            extra_meta={"score_refresh": True},
+            overwrite_schema=False,
+        )
+        catalog.drop_table(_PATCHES)
+        catalog.set_state(_SR_APPLIED, all_paths)
+        return {
+            "mode": "compact",
+            "members": meta["counts"]["rows_out"],
+            "changed": n_changed,
+            "snapshot_id": meta["snapshot_id"],
+        }
+
+    applied = set(catalog.get_state(_SR_APPLIED, []))
+    delta = [p for p in all_paths if p not in applied]
+    if not delta:
+        return {"mode": "patch", "delta_files": 0, "patched_members": 0}
+    # replay fence: a crash between the patch append and the state update
+    # re-enters with the same delta — the committed patch manifest already
+    # records it, so just finish the state update (no duplicate append)
+    pm = catalog.table_meta(_PATCHES)
+    delta_key = ",".join(sorted(delta))
+    if (
+        pm is not None
+        and pm.get("inputs", {}).get("verified_pairs_delta") == delta_key
+    ):
+        catalog.set_state(_SR_APPLIED, all_paths)
+        return {
+            "mode": "patch",
+            "delta_files": len(delta),
+            "patched_members": pm["counts"]["rows_appended"],
+            "resumed": True,
+        }
+    edges = spark.read.parquet(*delta).where("is_match")
+    patch = (
         edges.select(F.col("id_l").alias("image_id"), "score")
         .unionByName(edges.select(F.col("id_r").alias("image_id"), "score"))
         .groupBy("image_id")
-        .agg(
-            F.min("score").alias("z_minScore"),
-            F.max("score").alias("z_maxScore"),
-        )
+        .agg(F.min("score").alias("d_min"), F.max("score").alias("d_max"))
     )
-    members = catalog.read_table("cluster_members")
-    out_cols = members.columns
-    refreshed = (
-        members.withColumnRenamed("z_minScore", "old_min")
-        .withColumnRenamed("z_maxScore", "old_max")
-        .join(per_member, "image_id", "left")
-        .withColumn(
-            "changed",
-            ~(
-                F.col("z_minScore").eqNullSafe(F.col("old_min"))
-                & F.col("z_maxScore").eqNullSafe(F.col("old_max"))
-            ),
-        )
+    meta = catalog.append_table(
+        patch, _PATCHES, config_hash=cfg.config_hash(),
+        inputs={"verified_pairs_delta": delta_key},
     )
-    n_changed = refreshed.where("changed").count()
-    meta = catalog.write_table(
-        refreshed.select(*out_cols),
-        "cluster_members",
-        config_hash=cfg.config_hash(),
-        extra_meta={"score_refresh": True},
-        overwrite_schema=False,
-    )
+    catalog.set_state(_SR_APPLIED, all_paths)
     return {
-        "members": meta["counts"]["rows_out"],
-        "changed": n_changed,
+        "mode": "patch",
+        "delta_files": len(delta),
+        "patched_members": meta["counts"]["rows_appended"],
         "snapshot_id": meta["snapshot_id"],
     }

@@ -30,7 +30,10 @@ from pyspark.sql import functions as F
 
 from customer_er_spark.catalog import SparkCatalog
 from customer_er_spark.config import ERConfig
-from customer_er_spark.operators.candidates import candidate_pairs
+from customer_er_spark.operators.candidates import (
+    band_keys,
+    candidate_pairs_from_bands,
+)
 from customer_er_spark.operators.components import connected_components
 from customer_er_spark.operators.signatures import compute_signatures
 from customer_er_spark.operators.verify import verify_pairs
@@ -79,13 +82,28 @@ def run_initial(
 
     sig_snap = {"signatures": catalog.snapshot_id("signatures") or ""}
 
+    # the band table is COMMITTED, not just exploded in-flight: increments
+    # (plans/incremental.py link_pairs) join their band keys against this
+    # table instead of re-banding the whole registry on every run, and
+    # each merge appends the incoming band rows — the registry is banded
+    # exactly once per record, ever.
+    bands = stage(
+        "priors_bands", sig_snap,
+        lambda: band_keys(sig, cfg).select("band_key", "image_id", "phash"),
+        n_images,
+    )
+    bands_snap = {
+        **sig_snap,
+        "priors_bands": catalog.snapshot_id("priors_bands") or "",
+    }
+
     def build_pairs():
-        pairs, band_stats = candidate_pairs(sig, cfg)
+        pairs, band_stats = candidate_pairs_from_bands(bands, cfg)
         catalog.write_table(band_stats, "band_stats", config_hash=ch,
-                            inputs=sig_snap)
+                            inputs=bands_snap)
         return pairs
 
-    cand = stage("candidate_pairs", sig_snap, build_pairs, n_images)
+    cand = stage("candidate_pairs", bands_snap, build_pairs, n_images)
 
     cand_snap = {
         "signatures": catalog.snapshot_id("signatures") or "",

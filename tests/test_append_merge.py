@@ -186,23 +186,18 @@ def test_commit_counts_from_footers_no_extra_job(spark, catalog):
     assert meta2["n_files"] >= 3
 
 
-def test_refresh_member_scores(spark, append_run):
-    """After an increment, the score-refresh maintenance op makes every
-    member row match a from-scratch aggregate of verified_pairs — closing
-    the documented stale-prior-score trade of insert-only merges."""
-    from customer_er_spark.plans.incremental import refresh_member_scores
-
-    catalog = append_run[0]
+def _truth_scores(catalog):
     edges = catalog.read_table("verified_pairs").where("is_match")
-    truth = (
+    return (
         edges.select(F.col("id_l").alias("image_id"), "score")
         .unionByName(edges.select(F.col("id_r").alias("image_id"), "score"))
         .groupBy("image_id")
         .agg(F.min("score").alias("t_min"), F.max("score").alias("t_max"))
     )
-    res = refresh_member_scores(spark, catalog, CFG)
-    members = catalog.read_table("cluster_members")
-    stale = (
+
+
+def _stale_count(members, truth):
+    return (
         members.join(truth, "image_id", "left")
         .where(
             ~(
@@ -212,10 +207,55 @@ def test_refresh_member_scores(spark, append_run):
         )
         .count()
     )
-    assert stale == 0, f"{stale} member rows still stale after refresh"
-    assert res["members"] == members.count()
-    # idempotent: a second refresh changes nothing
-    assert refresh_member_scores(spark, catalog, CFG)["changed"] == 0
+
+
+def test_refresh_member_scores(spark, append_run):
+    """After an increment, the patch-mode refresh reads ONLY the appended
+    edge files (O(churn)) and appends score patches; current_member_scores
+    then equals a from-scratch aggregate of verified_pairs, and compaction
+    squashes the patches into the stored rows — closing the documented
+    stale-prior-score trade of insert-only merges at churn cost."""
+    from customer_er_spark.plans.incremental import (
+        current_member_scores,
+        refresh_member_scores,
+    )
+
+    catalog = append_run[0]
+    truth = _truth_scores(catalog)
+
+    res = refresh_member_scores(spark, catalog, CFG)
+    assert res["mode"] == "patch"
+    # first-ever refresh folds every edge file committed so far
+    n_vp = len(catalog.table_meta("verified_pairs")["paths"])
+    assert res["delta_files"] == n_vp
+    # merge-on-read view is exact; stored rows were NOT rewritten
+    assert _stale_count(current_member_scores(spark, catalog), truth) == 0
+    assert catalog.table_meta("member_score_patches") is not None
+
+    # no new edges -> the refresh job reads ZERO files (scales with churn)
+    res2 = refresh_member_scores(spark, catalog, CFG)
+    assert res2["delta_files"] == 0 and res2["patched_members"] == 0
+
+    # a small edge append -> the next refresh reads only THAT delta file
+    # and patches at most the members it touches
+    extra = catalog.read_table("verified_pairs").limit(3)
+    catalog.append_table(extra, "verified_pairs", config_hash=CFG.config_hash())
+    res3 = refresh_member_scores(spark, catalog, CFG)
+    assert res3["delta_files"] == 1
+    assert 0 < res3["patched_members"] <= 6  # <= 2 endpoints x 3 edges
+    assert _stale_count(
+        current_member_scores(spark, catalog), _truth_scores(catalog)
+    ) == 0
+
+    # compaction: ground-truth rewrite, patches squashed away
+    res4 = refresh_member_scores(spark, catalog, CFG, compact=True)
+    assert res4["mode"] == "compact"
+    members = catalog.read_table("cluster_members")
+    assert _stale_count(members, _truth_scores(catalog)) == 0
+    assert res4["members"] == members.count()
+    assert catalog.table_meta("member_score_patches") is None
+    # post-compaction refresh: nothing to do
+    assert refresh_member_scores(spark, catalog, CFG)["delta_files"] == 0
 
 
 def test_write_table_local_contract(spark, catalog):

@@ -82,3 +82,113 @@ def test_registry_ids_stable_across_increment(spark, small_corpus, incremental_r
         & ~F.col("cluster_id").isin(list(initial_ids))
     ).count()
     assert moved == 0
+
+
+def test_second_increment_does_not_reband_priors(
+    spark, small_corpus, tmp_path, monkeypatch
+):
+    """The banded-once contract (priors_bands): after the initial run, no
+    increment may ever band the registry again — band_keys runs only on
+    incoming-sized inputs, and the registry band table grows by appends."""
+    from pyspark.sql import functions as F
+
+    import customer_er_spark.plans.incremental as inc_mod
+    from customer_er_spark.catalog import SparkCatalog
+
+    catalog = SparkCatalog(spark, str(tmp_path / "pb_cat"))
+    initial = spark.read.parquet(f"{small_corpus['dir']}/images_initial.parquet")
+    incoming = spark.read.parquet(
+        f"{small_corpus['dir']}/images_incremental.parquet"
+    )
+    half1 = incoming.where(F.pmod(F.xxhash64("image_id"), F.lit(2)) == 0)
+    half2 = incoming.where(F.pmod(F.xxhash64("image_id"), F.lit(2)) == 1)
+    n_half2 = half2.count()
+    assert n_half2 > 0
+
+    run_initial(spark, initial, catalog, CFG)
+    run_link(spark, half1, catalog, CFG, run_key="h1")
+    run_incremental_match(spark, half1, catalog, CFG)
+    paths_before = len(catalog.table_meta("priors_bands")["paths"])
+
+    # spy: every band_keys call inside the incremental plan records the
+    # row count of the input it was asked to band
+    banded_sizes = []
+    orig = inc_mod.band_keys
+
+    def spy(df, cfg):
+        banded_sizes.append(df.count())
+        return orig(df, cfg)
+
+    monkeypatch.setattr(inc_mod, "band_keys", spy)
+    run_link(spark, half2, catalog, CFG, run_key="h2")
+    run_incremental_match(spark, half2, catalog, CFG)
+
+    # the registry (initial + half1) was NEVER re-banded: every banding
+    # input was incoming-sized
+    assert banded_sizes, "band_keys never called for the increment"
+    assert all(n <= n_half2 for n in banded_sizes), banded_sizes
+
+    # priors_bands grew append-only (one new data dir per merge), with the
+    # full per-record band fan-out for the new records only
+    meta = catalog.table_meta("priors_bands")
+    assert len(meta["paths"]) == paths_before + 1
+    from itertools import combinations
+
+    keys_per_record = CFG.bands + len(
+        list(combinations(range(CFG.phash_chunks), CFG.phash_clean_chunks))
+    )
+    assert meta["counts"]["rows_out"] == small_corpus["rows"] * keys_per_record
+
+    # and the result is still exact
+    truth = spark.read.parquet(f"{small_corpus['dir']}/truth_pairs.parquet")
+    m = recall_vs_truth(spark, catalog.read_table("cluster_members"), truth)
+    assert m["recall"] >= 0.99, m
+    assert m["precision"] >= 0.95, m
+
+
+def test_link_review_artifact(spark, small_corpus, incremental_run):
+    """The review table mirrors the review-decision subset with both-side
+    captions (the reference's human-in-the-loop artifact, 03:283-288).
+    NOTE: the forced-review leg below re-runs run_link with a stricter
+    config on the SHARED incremental_run catalog — keep this test LAST in
+    the file (it overwrites the link_* tables and priors_bands)."""
+    catalog, _, _ = incremental_run
+    lr = catalog.read_table("link_review")
+    expect_cols = {
+        "incoming_id", "prior_id", "cluster_id", "score", "hamming",
+        "caption_incoming", "caption_prior", "best_score", "second_score",
+    }
+    assert set(lr.columns) == expect_cols
+    n_review = (
+        catalog.read_table("link_decisions").where("decision = 'review'").count()
+    )
+    assert lr.select("incoming_id").distinct().count() == n_review
+
+    # force reviews: accept impossible (threshold > 1), everything at/above
+    # review 0.0 -> every linked incoming becomes a review row with its
+    # full candidate-edge context
+    cfg_rev = ERConfig(
+        shuffle_partitions=8, match_threshold=1.01, review_threshold=0.0
+    )
+    incoming = spark.read.parquet(
+        f"{small_corpus['dir']}/images_incremental.parquet"
+    )
+    run_link(spark, incoming, catalog, cfg_rev, run_key="force-review")
+    dec = catalog.read_table("link_decisions")
+    assert dec.where("decision = 'accept'").count() == 0
+    n_rev = dec.where("decision = 'review'").count()
+    assert n_rev > 0
+    lr2 = catalog.read_table("link_review")
+    assert lr2.select("incoming_id").distinct().count() == n_rev
+    # both-side captions always present for the reviewer
+    assert lr2.where(
+        "caption_prior IS NULL OR caption_incoming IS NULL"
+    ).count() == 0
+    # scores are consistent with the decisions they mirror
+    bad = (
+        lr2.groupBy("incoming_id")
+        .agg(F.max("score").alias("edge_max"), F.first("best_score").alias("b"))
+        .where("edge_max != b")
+        .count()
+    )
+    assert bad == 0

@@ -181,3 +181,49 @@ def test_stateful_dedup_counts(spark, tmp_path):
     by_copies2 = sorted((r["n_copies"], r["keep_id"]) for r in got2.values())
     assert (3, 5) in by_copies2  # 2 prior + 1 new; numeric min wins
     assert (1, 13) in by_copies2  # new key emitted with fresh state
+
+
+def test_stateful_census_matches_exact_dedup_oracle(spark, tmp_path):
+    """Value-level oracle for the stateful streaming census: run it over
+    the driver's sf0.001 documents table as an availableNow stream in
+    several micro-batches; the final per-key state must equal the batch
+    exact_dedup aggregate EXACTLY — (text_hash, n_copies, keep_id) sets,
+    not just row counts."""
+    from customer_er_spark.operators.dedup import exact_dedup
+    from customer_er_spark.streaming.streams import stateful_dedup_counts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    expected = {
+        (r["text_hash"], r["n_copies"], r["keep_id"])
+        for r in exact_dedup(docs).collect()
+    }
+    assert expected  # non-vacuous
+
+    src = str(tmp_path / "census_src")
+    docs.repartition(6).write.parquet(src)  # several micro-batches
+
+    updates = []
+
+    def sink(batch_df, batch_id):
+        updates.extend(batch_df.collect())
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    q = (
+        stateful_dedup_counts(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "census_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _wait(q)
+
+    final = {}
+    for r in updates:  # updates arrive in batch order; last per key wins
+        final[r["text_hash"]] = (r["text_hash"], r["n_copies"], r["keep_id"])
+    got = set(final.values())
+    assert got == expected
