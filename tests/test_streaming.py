@@ -109,7 +109,7 @@ def test_stream_images_to_registry(spark, small_corpus, tmp_path):
     q = stream_images_to_registry(
         spark, src, catalog, CFG, str(tmp_path / "ckpt")
     )
-    _wait(q, 300)
+    _wait(q, 600)
     assert catalog.read_table("cluster_members").count() == initial.count()
 
     # drop the incremental file in and run a second availableNow pass
@@ -121,7 +121,7 @@ def test_stream_images_to_registry(spark, small_corpus, tmp_path):
     q2 = stream_images_to_registry(
         spark, src, catalog, CFG, str(tmp_path / "ckpt")
     )
-    _wait(q2, 300)
+    _wait(q2, 600)
     members = catalog.read_table("cluster_members")
     assert members.count() == small_corpus["rows"]
     truth = spark.read.parquet(f"{small_corpus['dir']}/truth_pairs.parquet")
