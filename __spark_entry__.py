@@ -447,6 +447,11 @@ _N_VIDEOS = 50
 
 
 def _videos_df(spark):
+    # oracle-scale convenience only: 50 tiny MP4s are synthesized
+    # driver-side so DuckDB can predict every output in closed form.  A
+    # real deployment reads a (video_id, bytes) table from the lake; the
+    # operators themselves (multimodal.video_meta/frame_sample) are
+    # mapInPandas over whatever DataFrame they are handed.
     from customer_er_spark.mp4 import build_minimal_mp4
 
     rows = [

@@ -523,3 +523,32 @@ def test_verify_pairs_catalog_mode(spark, catalog):
     prefix = f"verify_tmp_{cfg.config_hash()[:8]}"
     assert catalog.table_meta(f"{prefix}_hamming") is not None
     assert catalog.table_meta(f"{prefix}_base") is not None
+
+
+def test_scratch_tables_do_not_clobber_across_configs(spark, catalog):
+    """Two verify_pairs calls with DIFFERENT configs sharing one catalog
+    must land their intermediates in different scratch tables (per-config
+    prefix), so neither call silently overwrites the other's state or
+    trips the schema-change guard."""
+    from customer_er_spark.operators.verify import verify_pairs
+
+    rows = [
+        ("a", "same caption", 0, [1, 2, 3, 4]),
+        ("b", "same caption", 255, [1, 2, 3, 4]),
+    ]
+    sig = spark.createDataFrame(
+        rows,
+        "image_id string, caption_norm string, phash long, minhash array<long>",
+    )
+    pairs = spark.createDataFrame([("a", "b")], "id_l string, id_r string")
+    cfg1 = ERConfig(num_hashes=4, bands=2, rows_per_band=2, shuffle_partitions=4)
+    cfg2 = ERConfig(num_hashes=4, bands=2, rows_per_band=2, shuffle_partitions=4,
+                    phash_hamming_max=12)
+    verify_pairs(pairs, sig, cfg1, catalog=catalog).collect()
+    verify_pairs(pairs, sig, cfg2, catalog=catalog).collect()
+    p1 = f"verify_tmp_{cfg1.config_hash()[:8]}"
+    p2 = f"verify_tmp_{cfg2.config_hash()[:8]}"
+    assert p1 != p2
+    for p in (p1, p2):
+        assert catalog.table_meta(f"{p}_hamming") is not None
+        assert catalog.table_meta(f"{p}_base") is not None
