@@ -404,7 +404,10 @@ def q_numeric_overlap(spark, sf):
     integer (n_inter, n_sum) pair per the no-round rule; DuckDB replays
     regexp_extract_all + double cast + distinct + equi-join.  Both engines
     parse number strings with correctly-rounded strtod, so double equality
-    is deterministic."""
+    is deterministic.  Uses the kernel's shared NUM_RE grammar (sign +
+    capped exponent, verify.py) so '-5' != '5' and '1e3' == '1000'."""
+    from customer_er_spark.operators.verify import NUM_RE, _norm_zero
+
     d = _t(spark, sf, "documents").select(
         "doc_id",
         F.concat_ws(
@@ -418,8 +421,8 @@ def q_numeric_overlap(spark, sf):
     def nums(c):
         return F.array_distinct(
             F.transform(
-                F.regexp_extract_all(c, F.lit(r"[0-9]*\.?[0-9]+"), F.lit(0)),
-                lambda x: x.cast("double"),
+                F.regexp_extract_all(c, F.lit(NUM_RE), F.lit(0)),
+                lambda x: _norm_zero(x.cast("double")),
             )
         )
 
@@ -434,6 +437,81 @@ def q_numeric_overlap(spark, sf):
         inter.alias("n_inter"),
         (F.size("nl") + F.size("nr")).cast("long").alias("n_sum"),
     )
+
+
+def q_numeric_units_overlap(spark, sf):
+    """The NUMERIC_WITH_UNITS MatchType kernel (operators/verify.field_sim)
+    value-checked end-to-end: consecutive documents scored as a
+    structured-field pair, tokens = (number value, attached unit letters).
+    The composed string appends '<n_chars>ch <doc_id%97>px' so every
+    document carries unit-bearing numbers.  Tokens are (double, string)
+    STRUCTS on both sides — no double->string formatting is ever compared
+    across engines (Spark renders 1e20 as '1.0E20', DuckDB as '1e+20'; a
+    struct join sidesteps the whole class).  Output is the integer
+    (n_inter, n_sum) pair per the no-round rule."""
+    from customer_er_spark.operators.verify import NUM_UNIT_RE, _norm_zero
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lower(F.col("text")),
+            F.lit(" "),
+            F.col("n_chars").cast("string"),
+            F.lit("ch "),
+            (F.col("doc_id") % 97).cast("string"),
+            F.lit("px"),
+        ).alias("s"),
+    )
+
+    def toks(c):
+        return F.array_distinct(
+            F.transform(
+                F.regexp_extract_all(c, F.lit(NUM_UNIT_RE), F.lit(0)),
+                lambda t: F.struct(
+                    _norm_zero(
+                        F.regexp_extract(t, NUM_UNIT_RE, 1).cast("double")
+                    ).alias("v"),
+                    F.regexp_extract(t, NUM_UNIT_RE, 2).alias("u"),
+                ),
+            )
+        )
+
+    left = d.select(F.col("doc_id").alias("id_l"), toks(F.col("s")).alias("tl"))
+    right = d.select(
+        (F.col("doc_id") - 1).alias("id_l"), toks(F.col("s")).alias("tr")
+    )
+    pairs = left.join(right, "id_l")
+    inter = F.size(F.array_intersect("tl", "tr")).cast("long")
+    return pairs.select(
+        "id_l",
+        inter.alias("n_inter"),
+        (F.size("tl") + F.size("tr")).cast("long").alias("n_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sources: CSV scan round-trip (SURVEY §2.A A1) — the one operator that had
+# no oracle row.  nation is identical at every scale factor (25 fixed rows),
+# so the staging path and the oracle SQL can both be static.
+# ---------------------------------------------------------------------------
+
+_CSV_SCAN_DIR = "/tmp/er_csv_scan/nation"
+_CSV_SCAN_SCHEMA = "n_nationkey int, n_name string, n_regionkey int"
+
+
+def q_csv_scan(spark, sf):
+    """A1 parity (CSV scan, sources/readers.read_table_csv): write the
+    nation table as a standard RFC-4180 CSV (header, doubled-quote
+    escaping) and read it back through the engine's CSV source with an
+    explicit schema (explicit by design — inferSchema is the reference's
+    behavior but is sampling-dependent, so the committed ingest contract
+    pins types; see readers.py).  DuckDB re-reads the same staged file
+    with read_csv and the value hash checks the full round-trip."""
+    from customer_er_spark.sources.readers import read_table_csv, write_table_csv
+
+    n = _t(spark, sf, "nation")
+    write_table_csv(n, _CSV_SCAN_DIR)
+    return read_table_csv(spark, _CSV_SCAN_DIR, _CSV_SCAN_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -653,6 +731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fuzzy_sim": q_fuzzy_sim,
         "numeric_overlap": q_numeric_overlap,
+        "numeric_units_overlap": q_numeric_units_overlap,
+        "csv_scan": q_csv_scan,
         "embedding_topk": q_embedding_topk,
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_topk_ivf": q_embedding_topk_ivf,
@@ -733,6 +813,76 @@ def _lang_id_sql() -> str:
                    FROM t)
             SELECT doc_id, {case} AS lang_pred
             FROM (SELECT *, {greatest} AS m FROM sc)
+    """
+
+
+def _numeric_overlap_sql() -> str:
+    """DuckDB replay of the NUMERIC kernel — generated from the SAME
+    NUM_RE grammar the Catalyst kernel compiles (verify.py), so the two
+    can never drift.  NUM_RE is RE2-safe (no lookarounds) by contract."""
+    from customer_er_spark.operators.verify import NUM_RE
+
+    return f"""
+            WITH d AS (SELECT doc_id,
+                              lower(text) || ' ' || CAST(n_chars AS VARCHAR)
+                              || ' ' || CAST(doc_id % 100 AS VARCHAR) AS s
+                       FROM documents),
+            toks AS (SELECT doc_id,
+                            unnest(regexp_extract_all(s, '{NUM_RE}')) AS t
+                     FROM d),
+            nums AS (SELECT DISTINCT doc_id,
+                            CASE WHEN CAST(t AS DOUBLE) = 0 THEN 0.0
+                                 ELSE CAST(t AS DOUBLE) END AS v
+                     FROM toks),
+            sizes AS (SELECT doc_id, count(*) AS n FROM nums GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_l, count(*) AS n_inter
+                      FROM nums a JOIN nums b
+                        ON a.v = b.v AND b.doc_id = a.doc_id + 1
+                      GROUP BY 1)
+            SELECT sl.doc_id AS id_l,
+                   COALESCE(i.n_inter, 0) AS n_inter,
+                   sl.n + sr.n AS n_sum
+            FROM sizes sl
+            JOIN sizes sr ON sr.doc_id = sl.doc_id + 1
+            LEFT JOIN inter i ON i.id_l = sl.doc_id
+    """
+
+
+def _numeric_units_overlap_sql() -> str:
+    """DuckDB replay of the NUMERIC_WITH_UNITS kernel from the SAME
+    NUM_UNIT_RE grammar: group 1 = number, group 2 = unit letters; token
+    identity is the (double value, unit string) PAIR, joined column-wise
+    so no double is ever formatted to text."""
+    from customer_er_spark.operators.verify import NUM_UNIT_RE
+
+    return f"""
+            WITH d AS (SELECT doc_id,
+                              lower(text) || ' ' || CAST(n_chars AS VARCHAR)
+                              || 'ch ' || CAST(doc_id % 97 AS VARCHAR)
+                              || 'px' AS s
+                       FROM documents),
+            raw AS (SELECT doc_id,
+                           unnest(regexp_extract_all(s, '{NUM_UNIT_RE}')) AS t
+                    FROM d),
+            toks AS (SELECT DISTINCT doc_id,
+                            CASE WHEN CAST(regexp_extract(t, '{NUM_UNIT_RE}', 1)
+                                          AS DOUBLE) = 0 THEN 0.0
+                                 ELSE CAST(regexp_extract(t, '{NUM_UNIT_RE}', 1)
+                                           AS DOUBLE) END AS v,
+                            regexp_extract(t, '{NUM_UNIT_RE}', 2) AS u
+                     FROM raw),
+            sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_l, count(*) AS n_inter
+                      FROM toks a JOIN toks b
+                        ON a.v = b.v AND a.u = b.u
+                       AND b.doc_id = a.doc_id + 1
+                      GROUP BY 1)
+            SELECT sl.doc_id AS id_l,
+                   COALESCE(i.n_inter, 0) AS n_inter,
+                   sl.n + sr.n AS n_sum
+            FROM sizes sl
+            JOIN sizes sr ON sr.doc_id = sl.doc_id + 1
+            LEFT JOIN inter i ON i.id_l = sl.doc_id
     """
 
 
@@ -979,31 +1129,23 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN inter i ON i.id_l = sl.doc_id
         """,
         # numeric_overlap — DuckDB replays the NUMERIC MatchType kernel:
-        # extract all numbers, cast to double, distinct per doc, intersect
-        # counts on consecutive doc_id pairs (same integer-pair rule).
-        # sizes covers every doc because the composed string always
-        # carries at least one number (n_chars is appended).
-        "numeric_overlap": """
-            WITH d AS (SELECT doc_id,
-                              lower(text) || ' ' || CAST(n_chars AS VARCHAR)
-                              || ' ' || CAST(doc_id % 100 AS VARCHAR) AS s
-                       FROM documents),
-            toks AS (SELECT doc_id,
-                            unnest(regexp_extract_all(s, '[0-9]*\\.?[0-9]+'))
-                              AS t
-                     FROM d),
-            nums AS (SELECT DISTINCT doc_id, CAST(t AS DOUBLE) AS v FROM toks),
-            sizes AS (SELECT doc_id, count(*) AS n FROM nums GROUP BY doc_id),
-            inter AS (SELECT a.doc_id AS id_l, count(*) AS n_inter
-                      FROM nums a JOIN nums b
-                        ON a.v = b.v AND b.doc_id = a.doc_id + 1
-                      GROUP BY 1)
-            SELECT sl.doc_id AS id_l,
-                   COALESCE(i.n_inter, 0) AS n_inter,
-                   sl.n + sr.n AS n_sum
-            FROM sizes sl
-            JOIN sizes sr ON sr.doc_id = sl.doc_id + 1
-            LEFT JOIN inter i ON i.id_l = sl.doc_id
+        # extract all numbers (shared sign+capped-exponent grammar NUM_RE,
+        # RE2-compatible), cast to double, -0 -> 0, distinct per doc,
+        # intersect counts on consecutive doc_id pairs (same integer-pair
+        # rule).  sizes covers every doc because the composed string
+        # always carries at least one number (n_chars is appended).
+        "numeric_overlap": _numeric_overlap_sql(),
+        # numeric_units_overlap — same composition for NUMERIC_WITH_UNITS:
+        # tokens are (value, unit) pairs joined as columns, never as
+        # formatted strings (see q_numeric_units_overlap docstring).
+        "numeric_units_overlap": _numeric_units_overlap_sql(),
+        # csv_scan — re-read the file the Spark query staged (RFC-4180,
+        # doubled-quote escaping = DuckDB's default dialect); explicit
+        # column types mirror the engine's pinned-schema ingest contract
+        "csv_scan": f"""
+            SELECT * FROM read_csv('{_CSV_SCAN_DIR}/*.csv', header=true,
+              columns={{'n_nationkey': 'INTEGER', 'n_name': 'VARCHAR',
+                        'n_regionkey': 'INTEGER'}})
         """,
         "embedding_topk": _cosine_sql(),
         # the three hash-randomized kernels get VALUE-level oracles via

@@ -92,6 +92,22 @@ def _fuzzy_sim(ln: Column, rn: Column) -> Column:
     )
 
 
+# Number grammar shared by NUMERIC / NUMERIC_WITH_UNITS and their DuckDB
+# oracle twins (RE2-compatible: no lookarounds).  Optional sign, optional
+# fraction, optional exponent CAPPED at 2 digits — "1e999" tokenizes as
+# (1e99, 9) in BOTH engines instead of casting to inf in one and erroring
+# in the other.  NUM_UNIT_RE group 1 is the number, group 2 the unit
+# letters (extracted by group so an exponent's 'e' can never leak into
+# the unit the way a strip-non-alpha approach would).
+NUM_RE = r"[-+]?[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]{1,2})?"
+NUM_UNIT_RE = r"([-+]?[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]{1,2})?)\s*([a-z]*)"
+
+
+def _norm_zero(v: Column) -> Column:
+    """-0.0 -> 0.0 so distinct/intersect see one zero in every engine."""
+    return F.when(v == 0.0, F.lit(0.0)).otherwise(v)
+
+
 def field_sim(fd: FieldDef) -> Column:
     """[0,1] similarity for one structured field — pure Catalyst SQL over
     the attached <column>_l / <column>_r sides (reference parity: Zingg
@@ -150,6 +166,11 @@ def field_sim(fd: FieldDef) -> Column:
         # number's attached unit suffix as part of the token ("16 GB" and
         # "16gb" both normalize to "16.0gb").  Pure Catalyst:
         # regexp_extract_all + transform + array_intersect.
+        # The number grammar carries an optional sign and a 1-2 digit
+        # exponent ("-5" != "5", "1e3" == "1000"); the exponent is capped
+        # at 2 digits so a pathological "1e999" can never cast to inf
+        # (engines disagree on out-of-range casts); -0.0 is normalized to
+        # 0.0 so set membership is engine-independent.
         if fd.match_type == "NUMERIC":
             def toks(c):
                 s = F.lower(c.cast("string"))
@@ -157,29 +178,27 @@ def field_sim(fd: FieldDef) -> Column:
                     s.isNotNull(),
                     F.array_distinct(
                         F.transform(
-                            F.regexp_extract_all(
-                                s, F.lit(r"[0-9]*\.?[0-9]+"), F.lit(0)
-                            ),
-                            lambda x: x.cast("double"),
+                            F.regexp_extract_all(s, F.lit(NUM_RE), F.lit(0)),
+                            lambda x: _norm_zero(x.cast("double")),
                         )
                     ),
                 )
         else:
             def toks(c):
                 s = F.lower(c.cast("string"))
-                raw = F.regexp_extract_all(
-                    s, F.lit(r"[0-9]*\.?[0-9]+\s*[a-z]*"), F.lit(0)
-                )
+                raw = F.regexp_extract_all(s, F.lit(NUM_UNIT_RE), F.lit(0))
                 return F.when(
                     s.isNotNull(),
                     F.array_distinct(
                         F.transform(
                             raw,
                             lambda t: F.concat(
-                                F.regexp_extract(t, r"([0-9]*\.?[0-9]+)", 1)
-                                .cast("double")
+                                _norm_zero(
+                                    F.regexp_extract(t, NUM_UNIT_RE, 1)
+                                    .cast("double")
+                                )
                                 .cast("string"),
-                                F.regexp_replace(t, r"[^a-z]", ""),
+                                F.regexp_extract(t, NUM_UNIT_RE, 2),
                             ),
                         )
                     ),

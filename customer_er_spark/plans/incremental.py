@@ -572,10 +572,23 @@ def refresh_member_scores(
     from the FULL verified_pairs table (ground truth), rewrite
     cluster_members once, drop the patch table.  That is the O(registry)
     job — run it like a compaction, on a schedule, never per increment.
+
+    Backend contract: patch mode needs the catalog manifest to expose the
+    snapshot's data-file paths (the parquet SparkCatalog's paths/path
+    keys).  A backend without them (IcebergCatalog's table_meta carries
+    snapshot ids, not file lists) falls back to the compact recompute —
+    correct, just O(registry); on Iceberg the O(churn) equivalent is an
+    incremental snapshot scan between the recorded and current snapshot
+    ids (not implementable offline, documented here for the cluster port).
     """
     cfg = cfg or ERConfig()
     vp_meta = catalog.table_meta("verified_pairs")
-    all_paths = list(vp_meta.get("paths") or [vp_meta["path"]])
+    all_paths = list(
+        vp_meta.get("paths")
+        or ([vp_meta["path"]] if vp_meta.get("path") else [])
+    )
+    if not all_paths and not compact:
+        compact = True  # no file-path manifest -> ground-truth recompute
 
     if compact:
         edges = catalog.read_table("verified_pairs").where("is_match")
@@ -620,6 +633,16 @@ def refresh_member_scores(
         }
 
     applied = set(catalog.get_state(_SR_APPLIED, []))
+    if applied - set(all_paths):
+        # the recorded lineage names data files the current snapshot no
+        # longer contains: verified_pairs was OVERWRITTEN (e.g. run_initial
+        # re-run into this catalog) since the last refresh.  Patches
+        # computed from the replaced edge snapshot are stale relative to
+        # the freshly-rewritten member rows — drop them and restart from
+        # the full current snapshot (folding every current edge over the
+        # rewritten rows is idempotent and equals the ground truth).
+        catalog.drop_table(_PATCHES)
+        applied = set()
     delta = [p for p in all_paths if p not in applied]
     if not delta:
         return {"mode": "patch", "delta_files": 0, "patched_members": 0}

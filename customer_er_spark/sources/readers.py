@@ -77,6 +77,35 @@ def read_images(
     return validate_images_schema(df)
 
 
+def read_table_csv(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Generic CSV scan (reference A1, /root/reference/01_Prepare_Data.py
+    ingest): header row, RFC-4180 doubled-quote escaping (escape='"' —
+    Spark's default backslash escaping is nonstandard and unreadable by
+    most other engines), explicit schema string.  The reference uses
+    inferSchema=True; the engine pins types instead — inference samples
+    the data and can flip a column's type between runs, which would break
+    the committed-snapshot schema contract (catalog._check_schema)."""
+    return (
+        spark.read.option("header", True)
+        .option("escape", '"')
+        .schema(schema)
+        .csv(path)
+    )
+
+
+def write_table_csv(df: DataFrame, path: str) -> None:
+    """Sink twin of read_table_csv: header + RFC-4180 doubled-quote
+    escaping, one file (the staging use case is small dims and test
+    fixtures; large tables belong in parquet/Iceberg)."""
+    (
+        df.coalesce(1)
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
 def images_to_csv(df: DataFrame, path: str) -> None:
     """Round-trip sink for the CSV ingest path (bytes as base64 text).
     base64() may emit MIME-chunked output with embedded newlines, which

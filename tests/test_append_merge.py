@@ -258,6 +258,114 @@ def test_refresh_member_scores(spark, append_run):
     assert refresh_member_scores(spark, catalog, CFG)["delta_files"] == 0
 
 
+def _mk_vp(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "id_l string, id_r string, hamming int, caption_sim double, "
+        "image_sim double, score double, is_match boolean",
+    )
+
+
+def _mk_members(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "cluster_id string, image_id string, caption string, phash long, "
+        "z_minScore double, z_maxScore double",
+    ).withColumn("datetime", F.current_timestamp())
+
+
+def test_refresh_invalidates_stale_patches_on_overwrite(spark, catalog):
+    """r5 advice: patches computed from a REPLACED verified_pairs snapshot
+    (e.g. run_initial re-run into the same catalog) must not be folded
+    into the freshly-rewritten members — the refresh detects that its
+    recorded lineage no longer exists and restarts from scratch."""
+    from customer_er_spark.plans.incremental import (
+        current_member_scores,
+        refresh_member_scores,
+    )
+
+    ch = CFG.config_hash()
+    catalog.write_table(
+        _mk_vp(spark, [("a", "b", 0, 1.0, 1.0, 0.9, True)]),
+        "verified_pairs", config_hash=ch,
+    )
+    catalog.write_table(
+        _mk_members(spark, [("a", "a", "c", 1, 0.9, 0.9),
+                            ("a", "b", "c", 1, 0.9, 0.9)]),
+        "cluster_members", config_hash=ch,
+    )
+    refresh_member_scores(spark, catalog, CFG)
+    catalog.append_table(
+        _mk_vp(spark, [("a", "c", 0, 1.0, 1.0, 0.7, True)]),
+        "verified_pairs", config_hash=ch,
+    )
+    assert refresh_member_scores(spark, catalog, CFG)["delta_files"] == 1
+    assert catalog.table_meta("member_score_patches") is not None
+
+    # fresh from-scratch run overwrites BOTH tables (new edge universe)
+    catalog.write_table(
+        _mk_vp(spark, [("a", "b", 0, 1.0, 1.0, 0.5, True)]),
+        "verified_pairs", config_hash=ch,
+    )
+    catalog.write_table(
+        _mk_members(spark, [("a", "a", "c", 1, 0.5, 0.5),
+                            ("a", "b", "c", 1, 0.5, 0.5)]),
+        "cluster_members", config_hash=ch,
+    )
+    res = refresh_member_scores(spark, catalog, CFG)
+    # the rewritten table is ONE fresh snapshot dir; stale patches are gone
+    assert res["mode"] == "patch" and res["delta_files"] == 1
+    got = {
+        r["image_id"]: (r["z_minScore"], r["z_maxScore"])
+        for r in current_member_scores(spark, catalog).collect()
+    }
+    # without invalidation the old 0.7/0.9 patches would leak into these
+    assert got == {"a": (0.5, 0.5), "b": (0.5, 0.5)}
+
+
+def test_refresh_without_file_manifest_falls_back_to_compact(spark, catalog):
+    """r5 advice (medium): a catalog backend whose table_meta exposes no
+    data-file paths (IcebergCatalog) cannot drive the delta-file patch
+    read — refresh must fall back to the ground-truth compact recompute
+    instead of raising KeyError."""
+    from customer_er_spark.plans.incremental import refresh_member_scores
+
+    ch = CFG.config_hash()
+    catalog.write_table(
+        _mk_vp(spark, [("a", "b", 0, 1.0, 1.0, 0.8, True)]),
+        "verified_pairs", config_hash=ch,
+    )
+    catalog.write_table(
+        _mk_members(spark, [("a", "a", "c", 1, None, None),
+                            ("a", "b", "c", 1, None, None)]),
+        "cluster_members", config_hash=ch,
+    )
+
+    class NoPathsCatalog:
+        """table_meta minus paths/path for verified_pairs — the exact
+        metadata shape IcebergCatalog.table_meta returns."""
+
+        def __init__(self, inner):
+            self._inner = inner
+
+        def table_meta(self, name):
+            m = self._inner.table_meta(name)
+            if m is not None and name == "verified_pairs":
+                m = {k: v for k, v in m.items() if k not in ("paths", "path")}
+            return m
+
+        def __getattr__(self, attr):
+            return getattr(self._inner, attr)
+
+    res = refresh_member_scores(spark, NoPathsCatalog(catalog), CFG)
+    assert res["mode"] == "compact" and res["changed"] == 2
+    got = {
+        r["image_id"]: (r["z_minScore"], r["z_maxScore"])
+        for r in catalog.read_table("cluster_members").collect()
+    }
+    assert got == {"a": (0.8, 0.8), "b": (0.8, 0.8)}
+
+
 def test_write_table_local_contract(spark, catalog):
     """Driver-local commits obey the same schema contract and manifest
     shape as distributed writes, and interoperate with them."""

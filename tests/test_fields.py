@@ -154,6 +154,16 @@ def test_numeric_overlap(spark):
         pytest.approx(0.96875)
     assert _score(spark, cfg, ["none", "16gb"])["score"] == \
         pytest.approx(0.46875)
+    # sign is part of the number: -5 and 5 do NOT agree
+    assert _score(spark, cfg, ["-5 offset", "5 offset"])["score"] == \
+        pytest.approx(0.46875)
+    assert _score(spark, cfg, ["-5 offset", "offset -5.0"])["score"] == \
+        pytest.approx(0.96875)
+    # scientific notation compares by VALUE: 1e3 == 1000
+    assert _score(spark, cfg, ["1e3 watts", "1000 watts"])["score"] == \
+        pytest.approx(0.96875)
+    assert _score(spark, cfg, ["2.5e-2 m", "0.025 m"])["score"] == \
+        pytest.approx(0.96875)
 
 
 def test_numeric_with_units(spark):
@@ -167,6 +177,15 @@ def test_numeric_with_units(spark):
     # same value, different unit -> no overlap (units are tokens, not
     # converted quantities; kg vs lb is a schema problem)
     assert _score(spark, cfg, ["30mm", "30 in"])["score"] == \
+        pytest.approx(0.46875)
+    # an exponent's 'e' belongs to the NUMBER, never the unit: "1e3v"
+    # is (1000.0, v), not (1.0, e3v) — and it equals "1000 V"
+    assert _score(spark, cfg, ["1e3v", "1000 V"])["score"] == \
+        pytest.approx(0.96875)
+    # signed number keeps its unit: "-40c" == "-40 C" but != "40c"
+    assert _score(spark, cfg, ["-40c", "-40 C"])["score"] == \
+        pytest.approx(0.96875)
+    assert _score(spark, cfg, ["-40c", "40c"])["score"] == \
         pytest.approx(0.46875)
 
 
