@@ -127,6 +127,8 @@ class SparkCatalog:
         partition_by: list[str] | None,
         extra_meta: dict | None,
         overwrite_schema: bool,
+        bloom_col: str | None = None,
+        bloom_max_rows: int = 100_000,
     ) -> dict:
         self._check_schema(name, df.schema.jsonValue(), overwrite_schema, mode)
         snap_id = f"snap-{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
@@ -140,14 +142,28 @@ class SparkCatalog:
         return self._finalize_commit(
             df.schema.jsonValue(), name, mode, snap_id, data_dir,
             config_hash, inputs, extra_meta,
+            bloom_col=bloom_col, bloom_max_rows=bloom_max_rows,
         )
 
     @staticmethod
-    def _footer_files(data_dir: str) -> list[dict]:
+    def _footer_files(
+        data_dir: str,
+        bloom_col: str | None = None,
+        bloom_max_rows: int = 100_000,
+    ) -> list[dict]:
         """Per-file row counts by summing parquet footers (pyarrow,
         recursive for partitioned layouts) — no Spark job at all: a
         count() would schedule a scan per commit, and recomputing the plan
-        is exactly what the committed files exist to avoid."""
+        is exactly what the committed files exist to avoid.
+
+        When `bloom_col` names an int64 key column, every file with at
+        most `bloom_max_rows` rows also gets a per-file bloom filter over
+        that column (functions/bloom.py) embedded in its manifest entry —
+        the poor-man's Iceberg puffin file that lets readers prune data
+        files driver-side by key set.  Larger files skip the bloom by
+        design: they belong to bulk snapshots where hash-bucket partition
+        pruning is the effective lever and a useful bloom would bloat the
+        manifest."""
         import pyarrow.parquet as pq
 
         data_files = []
@@ -155,10 +171,27 @@ class SparkCatalog:
             for f in sorted(files):
                 if f.endswith(".parquet"):
                     full = os.path.join(root, f)
-                    data_files.append({
+                    entry = {
                         "path": os.path.relpath(full, data_dir),
+                        "file": full,
                         "rows": pq.ParquetFile(full).metadata.num_rows,
-                    })
+                        "bytes": os.path.getsize(full),
+                    }
+                    if (
+                        bloom_col is not None
+                        and 0 < entry["rows"] <= bloom_max_rows
+                    ):
+                        from customer_er_spark.functions import bloom
+
+                        keys = (
+                            pq.read_table(full, columns=[bloom_col])
+                            .column(0)
+                            .to_numpy()
+                        )
+                        entry["bloom"] = {
+                            "col": bloom_col, **bloom.build(keys)
+                        }
+                    data_files.append(entry)
         data_files.sort(key=lambda d: d["path"])
         return data_files
 
@@ -172,14 +205,23 @@ class SparkCatalog:
         config_hash: str,
         inputs: dict[str, str] | None,
         extra_meta: dict | None,
+        bloom_col: str | None = None,
+        bloom_max_rows: int = 100_000,
     ) -> dict:
-        data_files = self._footer_files(data_dir)
+        data_files = self._footer_files(data_dir, bloom_col, bloom_max_rows)
         n_files = len(data_files)
         rows_new = sum(d["rows"] for d in data_files)
         old = self.table_meta(name)
         if mode == "append" and old is not None:
             paths = self._paths(old) + [data_dir]
             rows_out = old["counts"]["rows_out"] + rows_new
+            # the manifest's file list spans the WHOLE snapshot (Iceberg
+            # semantics): appended entries accumulate so readers can prune
+            # at file granularity across every commit.  Pre-upgrade
+            # entries without an absolute "file" key disable pruning for
+            # their commit (readers fall back to the full scan).
+            data_files = list(old.get("data_files") or []) + data_files
+            n_files = len(data_files)
         else:
             paths = [data_dir]
             rows_out = rows_new
@@ -220,16 +262,23 @@ class SparkCatalog:
         partition_by: list[str] | None = None,
         extra_meta: dict | None = None,
         overwrite_schema: bool = False,
+        bloom_col: str | None = None,
+        bloom_max_rows: int = 100_000,
     ) -> dict:
         """Write df as a fresh snapshot and commit it atomically.
 
         The data lands in  <table>/snap-<id>/  first; the manifest rename is
         the commit point, so a killed run never exposes a half-written
         snapshot (the kill-and-rerun resumability test relies on this).
+
+        `bloom_col` embeds a per-file key bloom in the manifest for files
+        up to `bloom_max_rows` rows (see _footer_files) — readers can
+        prune data files driver-side by key set.
         """
         return self._commit(
             df, name, "overwrite", config_hash, inputs, partition_by,
             extra_meta, overwrite_schema,
+            bloom_col=bloom_col, bloom_max_rows=bloom_max_rows,
         )
 
     def append_table(
@@ -240,6 +289,8 @@ class SparkCatalog:
         inputs: dict[str, str] | None = None,
         partition_by: list[str] | None = None,
         extra_meta: dict | None = None,
+        bloom_col: str | None = None,
+        bloom_max_rows: int = 100_000,
     ) -> dict:
         """Append df as a new snapshot = old data files + one new dir.
 
@@ -251,6 +302,7 @@ class SparkCatalog:
         return self._commit(
             df, name, "append", config_hash, inputs, partition_by,
             extra_meta, overwrite_schema=False,
+            bloom_col=bloom_col, bloom_max_rows=bloom_max_rows,
         )
 
     def write_table_local(

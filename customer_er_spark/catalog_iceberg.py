@@ -182,6 +182,8 @@ class IcebergCatalog:
         partition_by: list[str] | None = None,
         extra_meta: dict | None = None,
         overwrite_schema: bool = False,
+        bloom_col: str | None = None,
+        bloom_max_rows: int = 100_000,
     ) -> dict:
         # Iceberg's createOrReplace IS schema evolution; enforce the same
         # guard as the parquet backend when evolution wasn't requested
@@ -202,6 +204,16 @@ class IcebergCatalog:
             from pyspark.sql import functions as F
 
             w = w.partitionedBy(*[F.col(c) for c in partition_by])
+        if bloom_col:
+            # native equivalent of the parquet backend's manifest blooms:
+            # Iceberg writes parquet bloom filters for the column and its
+            # planner prunes data files by them (bloom_max_rows is a
+            # manifest-size knob that has no Iceberg analog — row-group
+            # blooms are cheap there, so every file gets one)
+            w = w.tableProperty(
+                f"write.parquet.bloom-filter-enabled.column.{bloom_col}",
+                "true",
+            )
         w.createOrReplace()
         return self._stamp(name, config_hash, inputs, extra_meta)
 
@@ -213,11 +225,15 @@ class IcebergCatalog:
         inputs: dict[str, str] | None = None,
         partition_by: list[str] | None = None,
         extra_meta: dict | None = None,
+        bloom_col: str | None = None,
+        bloom_max_rows: int = 100_000,
     ) -> dict:
         if not self._exists(name):
             return self.write_table(
-                df, name, config_hash, inputs, partition_by, extra_meta
+                df, name, config_hash, inputs, partition_by, extra_meta,
+                bloom_col=bloom_col, bloom_max_rows=bloom_max_rows,
             )
+        # appends inherit the table's bloom-filter property from create
         old = self.table_meta(name)
         from customer_er_spark.catalog import SparkCatalog
 

@@ -133,6 +133,21 @@ class ERConfig:
     shuffle_partitions: int = 32
     cc_checkpoint_every: int = 3  # connected-components lineage truncation
 
+    # --- priors_bands physical layout / increment scan pruning ---------------
+    # The committed registry band table is hash-partitioned into
+    # `band_buckets` directories by pmod(band_key, band_buckets) (Iceberg:
+    # bucket(K, band_key)) and every data file whose row count is at most
+    # `bloom_max_keys` carries a band_key bloom filter in the manifest
+    # (functions/bloom.py).  run_link prunes the registry scan driver-side
+    # to the increment's touched buckets and bloom-matching files, so the
+    # per-increment registry I/O is bounded by actual band collisions, not
+    # registry size.  `prune_max_keys` caps the driver-side collect of the
+    # increment's distinct band keys; a larger increment falls back to
+    # bucket-level pruning only (its scan is registry-sized anyway).
+    band_buckets: int = 64
+    bloom_max_keys: int = 100_000
+    prune_max_keys: int = 2_000_000
+
     # --- structured-field scoring (FieldDef list; see MATCH_TYPES above) ----
     # when non-empty, score = (w_caption*caption_sim + w_image*image_sim
     #   + sum(f.weight * field_sim_f)) / (w_caption + w_image + sum weights)

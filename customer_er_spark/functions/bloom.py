@@ -1,0 +1,102 @@
+"""Driver-side per-file key bloom filters for manifest-level file pruning.
+
+The parquet SparkCatalog records one small bloom filter per committed data
+file (over a designated int64 key column) inside the table manifest.  A
+reader that knows the key set it cares about — e.g. the incremental link
+join, whose probe side is the increment's band keys — can then drop every
+data file whose bloom provably contains none of those keys WITHOUT opening
+the file.  This is the manifest-level pruning Iceberg does with puffin /
+parquet bloom filters: the decision happens in the planner, not in Spark's
+scan, so a pruned file costs zero I/O.
+
+Why it makes increment I/O ~flat in registry size: LSH band keys are
+64-bit hashes, so a NEW record's band keys almost never equal an old
+file's keys UNLESS the two records actually collide in a band (i.e. they
+are candidate duplicates).  A registry grown by many small appends
+therefore prunes to: the initial snapshot's touched partitions + only the
+append files holding REAL band collisions — O(actual candidates), not
+O(registry).
+
+All hashing is numpy int64 (wrapping two's-complement arithmetic — uint64
+is pathologically slow in this sandbox) with an fmix-style avalanche;
+logical right shifts are emulated with arithmetic shift + mask.  Double
+hashing (Kirsch-Mitzenmacher) derives the k probe positions from two
+base hashes, so key hashing is done ONCE per probe set and reused across
+every file's bloom.
+"""
+
+from __future__ import annotations
+
+import base64
+
+import numpy as np
+
+_C1 = np.int64(-0x61C8864680B583EB)  # 2^64/phi, forced odd (as int64)
+_C2 = np.int64(-0x7EE3623A03D3D629)  # second odd mixing constant
+
+
+def _shr(h: np.ndarray, n: int) -> np.ndarray:
+    """Logical right shift for int64 (arithmetic shift + high-bit mask)."""
+    return (h >> np.int64(n)) & np.int64((1 << (64 - n)) - 1)
+
+
+def hash_keys(keys) -> tuple[np.ndarray, np.ndarray]:
+    """(h1, h2) int64 base hashes; h2 forced odd so probe strides cover
+    any power-of-two table."""
+    k = np.asarray(keys, dtype=np.int64)
+    h1 = k * _C1
+    h1 = (h1 ^ _shr(h1, 33)) * _C2
+    h1 = h1 ^ _shr(h1, 29)
+    h2 = (k ^ _shr(k, 31)) * _C2
+    h2 = (h2 ^ _shr(h2, 27)) * _C1
+    h2 = h2 | np.int64(1)
+    return h1, h2
+
+
+def build(keys, bits_per_key: int = 20, n_hashes: int = 10) -> dict:
+    """Defaults target ~1e-4 per-key FP: an ANY-of-k probe compounds FP
+    ~k-fold, and the link reader probes each file with its whole bucket's
+    key slice (~|increment keys| / band_buckets keys), so the per-key
+    rate must be well under 1/probe-count for file skipping to bite.  At
+    20 bits/key a 100-key file costs ~250 B of manifest."""
+    """Bloom over an int64 key array -> JSON-safe dict (power-of-two m)."""
+    h1, h2 = hash_keys(keys)
+    m = 64
+    while m < max(1, len(h1)) * bits_per_key:
+        m <<= 1
+    mask = np.int64(m - 1)
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    for i in range(n_hashes):
+        idx = (h1 + np.int64(i) * h2) & mask
+        np.bitwise_or.at(
+            bits, idx >> np.int64(3),
+            np.left_shift(np.uint8(1), (idx & np.int64(7)).astype(np.uint8)),
+        )
+    return {
+        "m": int(m),
+        "k": int(n_hashes),
+        "n": int(len(h1)),
+        "b64": base64.b64encode(bits.tobytes()).decode(),
+    }
+
+
+def might_contain_any(
+    bloom: dict, h1: np.ndarray, h2: np.ndarray
+) -> bool:
+    """True unless the bloom PROVABLY contains none of the hashed keys.
+    Probes short-circuit: survivors shrink ~3x per probe at 10 bits/key,
+    so a true-negative file costs ~1-2 vectorized passes."""
+    bits = np.frombuffer(base64.b64decode(bloom["b64"]), dtype=np.uint8)
+    mask = np.int64(bloom["m"] - 1)
+    alive = np.ones(len(h1), dtype=bool)
+    for i in range(bloom["k"]):
+        idx = (h1 + np.int64(i) * h2) & mask
+        alive &= (
+            bits[idx >> np.int64(3)]
+            & np.left_shift(np.uint8(1), (idx & np.int64(7)).astype(np.uint8))
+        ) != 0
+        if not alive.any():
+            return False
+        h1, h2 = h1[alive], h2[alive]
+        alive = np.ones(len(h1), dtype=bool)
+    return True

@@ -98,6 +98,37 @@ def band_keys(signatures: DataFrame, cfg: ERConfig) -> DataFrame:
     )
 
 
+def bands_per_record(cfg: ERConfig) -> int:
+    """Exact band-key fan-out per record (band_keys emits this many rows
+    for every signature row, always — no distinct, no drops).  Used as a
+    lineage cross-check: rows(priors_bands) must equal
+    bands_per_record(cfg) * rows(signatures), or the band table has
+    diverged from the registry (e.g. a crash between the two appends) and
+    must be re-banded."""
+    from math import comb
+
+    ph = (
+        comb(cfg.phash_chunks, cfg.phash_clean_chunks)
+        if cfg.phash_clean_chunks == 2
+        else cfg.phash_chunks
+    )
+    return cfg.bands + ph
+
+
+def with_band_bucket(bands: DataFrame, cfg: ERConfig) -> DataFrame:
+    """Attach the physical-layout bucket column pmod(band_key,
+    cfg.band_buckets) — the hash-bucket partition key of the committed
+    priors_bands table (Iceberg analog: bucket(K, band_key)).  Writers
+    partition by it; the incremental link prunes its registry scan to the
+    buckets the increment touches."""
+    return bands.select(
+        "band_key", "image_id", "phash",
+        F.pmod(F.col("band_key"), F.lit(cfg.band_buckets))
+        .cast("int")
+        .alias("band_bucket"),
+    )
+
+
 def salted_buckets(bands: DataFrame, cfg: ERConfig) -> tuple[DataFrame, DataFrame]:
     """(image_id, band_key)[, extra cols] -> (salted, band_stats).
 

@@ -16,9 +16,18 @@ Ours, made concrete and cheaper:
     band keys against that table, so an increment costs O(|incoming|)
     compute — no signature recompute, no band explode, no shuffle over
     the registry (the reference recomputes Zingg blocking over the full
-    priors table every time).  The only registry-sized work left per
-    increment is the columnar scan of priors_bands under a broadcast
-    join, which Iceberg/bucketing can prune further on a cluster;
+    priors table every time);
+  * the registry-sided I/O is pruned too: priors_bands is hash-bucket
+    partitioned on pmod(band_key, cfg.band_buckets) with per-file
+    band_key blooms in the manifest (catalog.write_table bloom_col), and
+    run_link restricts the scan DRIVER-SIDE to the increment's touched
+    buckets and bloom-colliding files — the manifest-level pruning
+    Iceberg does with bucket partitioning + parquet blooms.  Band keys
+    are 64-bit hashes, so an append file only survives the bloom when it
+    holds a REAL band collision with the increment: per-increment bytes
+    read ≈ touched buckets of the initial snapshot + O(actual candidate
+    collisions) of the appended files, ~independent of how many
+    increments the registry has absorbed;
   * the bipartite band join only keeps cross-source pairs by construction,
     with the same hot-band sub-bucket salting as the initial pipeline;
   * the threshold rules are code, not prose: accept iff best score >=
@@ -55,7 +64,12 @@ from pyspark.sql import Window
 
 from customer_er_spark.catalog import SparkCatalog
 from customer_er_spark.config import ERConfig
-from customer_er_spark.operators.candidates import band_keys, candidate_pairs
+from customer_er_spark.operators.candidates import (
+    band_keys,
+    bands_per_record,
+    candidate_pairs,
+    with_band_bucket,
+)
 from customer_er_spark.operators.components import connected_components
 from customer_er_spark.operators.signatures import compute_signatures
 from customer_er_spark.operators.verify import verify_pairs
@@ -75,12 +89,15 @@ def link_pairs(
     `priors_bands` is the COMMITTED (band_key, image_id, phash) table the
     initial pipeline wrote and every merge appends to — priors are banded
     exactly once per record, ever.  Per increment, only the incoming side
-    is exploded (O(|incoming|) band rows); the registry side is reduced to
-    the bands the increment actually touches by an inner join against the
-    increment's distinct band keys BEFORE any shuffle.  The distinct-key
-    side is tiny for a micro-batch, so AQE plans the join as a broadcast
-    hash join over the priors_bands scan: the registry is read (columnar,
-    3 narrow columns) but never exploded, shuffled, or window-counted.
+    is exploded (O(|incoming|) band rows); the registry side arrives here
+    ALREADY file-pruned (run_link passes the scan restricted to the
+    increment's touched hash buckets and bloom-colliding data files — see
+    _pruned_priors_bands), and is further reduced to exactly the touched
+    bands by an inner join against the increment's distinct band keys
+    BEFORE any shuffle.  The distinct-key side is tiny for a micro-batch,
+    so AQE plans the join as a broadcast hash join over the pruned scan:
+    the registry is never exploded or window-counted, and only the
+    touched-band prior rows ride the single band_key exchange below.
     Dropping priors in untouched bands is lossless — a band with no
     incoming member can produce no cross pair.
 
@@ -146,7 +163,136 @@ def _link_summary(catalog: SparkCatalog, resumed: bool) -> dict:
             for r in catalog.read_table("link_decisions")  # committed parquet,
             .groupBy("decision").count().collect()          # not the live plan
         },
+        # files/bytes of priors_bands the pruned link scan actually opened
+        # (None on the legacy full-scan fallback) — recorded by run_link
+        "registry_scan": catalog.get_state("link_registry_scan"),
     }
+
+
+_BUCKET_RE = None
+
+
+def _bucket_from_path(path: str) -> int | None:
+    import re
+
+    global _BUCKET_RE
+    if _BUCKET_RE is None:
+        _BUCKET_RE = re.compile(r"band_bucket=(\d+)")
+    m = _BUCKET_RE.search(path)
+    return int(m.group(1)) if m else None
+
+
+def _incoming_band_keys(inc_sig: DataFrame, cfg: ERConfig):
+    """Driver-side sample of the increment's distinct band keys.
+
+    Returns (keys int64 array | None, buckets set[int]).  keys is None
+    when the increment touches more than cfg.prune_max_keys distinct
+    bands — then only bucket-level pruning applies (such an increment is
+    registry-scale anyway, so a registry-sized scan is proportionate)."""
+    import numpy as np
+
+    kdf = band_keys(inc_sig, cfg).select("band_key").distinct()
+    rows = kdf.limit(cfg.prune_max_keys + 1).collect()
+    if len(rows) > cfg.prune_max_keys:
+        buckets = {
+            r[0]
+            for r in kdf.select(
+                F.pmod(F.col("band_key"), F.lit(cfg.band_buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+        return None, buckets
+    keys = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
+    # numpy % follows Python sign semantics (result sign = divisor) — the
+    # exact definition of Spark's pmod, so buckets match the writer's
+    buckets = set(int(b) for b in np.unique(keys % cfg.band_buckets))
+    return keys, buckets
+
+
+_PB_SCHEMA = "band_key bigint, image_id string, phash bigint"
+
+
+def _pruned_priors_bands(
+    spark: SparkSession,
+    catalog: SparkCatalog,
+    cfg: ERConfig,
+    buckets: set[int],
+    keys,
+) -> tuple[DataFrame, dict | None]:
+    """The registry band scan for one increment, pruned DRIVER-SIDE from
+    the manifest (the planner-level file skipping Iceberg performs with
+    bucket partitions + parquet blooms; Spark never even lists the
+    dropped files):
+
+      partition prune  a file under band_bucket=B is skipped unless the
+                       increment emits a band key with pmod(key, K) = B —
+                       lossless, the link join is an inner join on exact
+                       band_key;
+      bloom prune      a file whose manifest bloom provably contains none
+                       of the increment's band keys is skipped — lossless
+                       up to bloom false POSITIVES, which only ever keep
+                       extra files.
+
+    Each file's bloom is probed with ONLY the increment keys of that
+    file's own bucket — an any-of-k probe compounds the bloom's per-key
+    FP ~k-fold, so shrinking k by band_buckets is what makes skipping
+    actually fire (probing all keys against every file would survive
+    almost surely once the increment carries a few thousand keys).
+
+    Returns (df, stats); stats is None when the manifest predates file
+    pruning (no absolute file entries) and the full scan is used."""
+    meta = catalog.table_meta("priors_bands")
+    entries = meta.get("data_files") or []
+    if not entries or any("file" not in e for e in entries):
+        return catalog.read_table("priors_bands"), None
+    by_bucket: dict | None = None
+    h_all = None
+    if keys is not None and len(keys):
+        import numpy as np
+
+        from customer_er_spark.functions import bloom as bloom_mod
+
+        h_all = bloom_mod.hash_keys(keys)
+        kb = keys % cfg.band_buckets
+        by_bucket = {
+            int(b): np.nonzero(kb == b)[0] for b in np.unique(kb)
+        }
+    chosen = []
+    for e in entries:
+        b = _bucket_from_path(e["file"])
+        if b is not None and b not in buckets:
+            continue
+        bl = e.get("bloom")
+        if bl is not None and h_all is not None:
+            if b is not None and by_bucket is not None:
+                idx = by_bucket.get(b)
+                if idx is None or not len(idx):
+                    continue  # no increment key maps to this bucket
+                h1, h2 = h_all[0][idx], h_all[1][idx]
+            else:  # un-bucketed file: probe with every key
+                h1, h2 = h_all
+            from customer_er_spark.functions import bloom as bloom_mod
+
+            if not bloom_mod.might_contain_any(bl, h1, h2):
+                continue
+        chosen.append(e)
+    stats = {
+        "files_total": len(entries),
+        "files_read": len(chosen),
+        "bytes_total": sum(e.get("bytes", 0) for e in entries),
+        "bytes_read": sum(e.get("bytes", 0) for e in chosen),
+        "bloom_pruning": h_all is not None,
+    }
+    if not chosen:
+        df = spark.createDataFrame([], _PB_SCHEMA)
+    else:
+        df = spark.read.schema(_PB_SCHEMA).parquet(
+            *[e["file"] for e in chosen]
+        )
+    return df, stats
 
 
 def run_link(
@@ -188,19 +334,42 @@ def run_link(
 
     priors_sig = catalog.read_table("signatures")
     # the committed registry band table (written by run_initial, appended
-    # by every merge).  Missing or config-stale (registries created before
-    # the banded-once contract, or a band-reshaping config change): re-band
-    # the registry ONCE and commit, restoring O(|incoming|) increments.
+    # by every merge).  Re-band the registry ONCE (restoring O(|incoming|)
+    # increments) when it is missing, config-stale (registries created
+    # before the banded-once contract, or a band-reshaping config change),
+    # or lineage-diverged: band_keys emits EXACTLY bands_per_record rows
+    # per signature row, so a row-count mismatch vs the signatures
+    # manifest proves a crash landed between the signatures append and
+    # the priors_bands append of some increment — those records would be
+    # silently invisible to link candidate generation forever (the merge
+    # fences only heal a REPLAYED batch).
     pb_meta = catalog.table_meta("priors_bands")
-    if pb_meta is None or pb_meta.get("config_hash") != ch:
+    sig_meta = catalog.table_meta("signatures")
+    expected_rows = (
+        bands_per_record(cfg) * sig_meta["counts"]["rows_out"]
+        if sig_meta
+        else None
+    )
+    if (
+        pb_meta is None
+        or pb_meta.get("config_hash") != ch
+        or (
+            expected_rows is not None
+            and pb_meta["counts"]["rows_out"] != expected_rows
+        )
+    ):
         catalog.write_table(
-            band_keys(priors_sig, cfg).select("band_key", "image_id", "phash"),
+            with_band_bucket(band_keys(priors_sig, cfg), cfg).repartition(
+                cfg.shuffle_partitions, "band_bucket"
+            ),
             "priors_bands",
             config_hash=ch,
             inputs={"signatures": catalog.snapshot_id("signatures") or ""},
             overwrite_schema=True,
+            partition_by=["band_bucket"],
+            bloom_col="band_key",
+            bloom_max_rows=cfg.bloom_max_keys,
         )
-    priors_bands = catalog.read_table("priors_bands")
 
     inc_sig = compute_signatures(incoming, cfg)
     catalog.write_table(
@@ -214,6 +383,15 @@ def run_link(
         "priors_bands": catalog.snapshot_id("priors_bands") or "",
     }
 
+    # prune the registry band scan to what this increment can possibly
+    # touch (file skipping from the manifest, before Spark ever lists a
+    # file); the stats make the per-increment registry I/O auditable
+    inc_keys_arr, touched_buckets = _incoming_band_keys(inc_sig, cfg)
+    priors_bands, scan_stats = _pruned_priors_bands(
+        spark, catalog, cfg, touched_buckets, inc_keys_arr
+    )
+    catalog.set_state("link_registry_scan", scan_stats)
+
     # checkpoint candidates through the catalog: the bipartite band join
     # executes exactly once (the write action); verify reads the committed
     # parquet and the summary count comes free from the manifest.
@@ -226,8 +404,18 @@ def run_link(
     )
     pairs = catalog.read_table("link_candidates")
 
+    # verify's internal barriers (hamming gate / base attach) go through
+    # the catalog too: every intermediate of the catalog-mode link is a
+    # committed snapshot, replayable after executor loss (r5 verdict #2)
+    from customer_er_spark.operators.materialize import scratch_name
+
+    scr_lverify = scratch_name(
+        "link_verify", link_inputs["incoming_signatures"], ch
+    )
     both_sig = priors_sig.unionByName(inc_sig)
-    scored = verify_pairs(pairs, both_sig, cfg).where("is_match")
+    scored = verify_pairs(
+        pairs, both_sig, cfg, catalog=catalog, table_prefix=scr_lverify
+    ).where("is_match")
 
     members = catalog.read_table("cluster_members").select(
         "image_id", "cluster_id"
@@ -240,6 +428,9 @@ def run_link(
     ).select(*VERIFY_COLS, "cluster_id")
     catalog.write_table(link_edges, "link_edges", config_hash=ch, inputs=link_inputs)
     linked_raw = catalog.read_table("link_edges")
+    # verify's scratch snapshots are superseded by the committed link_edges
+    catalog.drop_table(f"{scr_lverify}_hamming")
+    catalog.drop_table(f"{scr_lverify}_base")
 
     # reference-shaped `linked` output: one row per record per link group,
     # z_source tags the side, prior z_score = max over its incoming matches
@@ -385,12 +576,12 @@ def run_incremental_match(
         if saved is not None:
             return {**saved, "resumed": True}
 
-    def append_once(build_df, table: str) -> dict:
+    def append_once(build_df, table: str, **write_kwargs) -> dict:
         meta = catalog.table_meta(table)
         if meta is not None and meta.get("inputs") == lineage:
             return meta  # this increment is already applied to this table
         return catalog.append_table(
-            build_df(), table, config_hash=ch, inputs=lineage
+            build_df(), table, config_hash=ch, inputs=lineage, **write_kwargs
         )
 
     decisions = catalog.read_table("link_decisions")
@@ -399,12 +590,24 @@ def run_incremental_match(
     )
 
     # match within incoming (full pipeline, incoming-only); materialized
-    # once — reused by components, member scores and the verified append
+    # once — reused by components, member scores and the verified append.
+    # Both barriers here go THROUGH the catalog (operators/materialize):
+    # a mid-merge executor loss on a real cluster replays from committed
+    # snapshots instead of recomputing nondeterministically-partitioned
+    # localCheckpoint blocks (r5 verdict #2); the scratch tables fold the
+    # increment snapshot into their names and are dropped with the CC
+    # working table once the appends commit.
+    from customer_er_spark.operators.materialize import materialize, scratch_name
+
+    scr_matches = scratch_name("incr_matches", inc_snap, ch)
+    scr_assign = scratch_name("incr_assign", inc_snap, ch)
+    scr_verify = scratch_name("incr_verify", inc_snap, ch)
     pairs, _ = candidate_pairs(inc_sig, cfg)
-    matches = (
-        verify_pairs(pairs, inc_sig, cfg)
-        .where("is_match")
-        .localCheckpoint(eager=True)
+    matches = materialize(
+        verify_pairs(
+            pairs, inc_sig, cfg, catalog=catalog, table_prefix=scr_verify
+        ).where("is_match"),
+        catalog, scr_matches, config_hash=ch, inputs=lineage,
     )
     # records accepted into the registry must not also seed new clusters:
     # drop within-incoming edges touching accepted records (their cluster
@@ -414,11 +617,14 @@ def run_incremental_match(
         matches.join(acc_ids, matches.id_l == acc_ids.aid, "left_anti")
         .join(acc_ids, F.col("id_r") == acc_ids.aid, "left_anti")
     )
-    new_assign = connected_components(
-        rem.select("id_l", "id_r"), cfg.cc_checkpoint_every,
-        catalog=catalog, checkpoint_table="cc_edges_incremental",
-        inputs={**lineage, "config": ch},  # durable mid-fixpoint resume
-    ).localCheckpoint(eager=True)
+    new_assign = materialize(
+        connected_components(
+            rem.select("id_l", "id_r"), cfg.cc_checkpoint_every,
+            catalog=catalog, checkpoint_table="cc_edges_incremental",
+            inputs={**lineage, "config": ch},  # durable mid-fixpoint resume
+        ),
+        catalog, scr_assign, config_hash=ch, inputs=lineage,
+    )
 
     # merged assignment for every incoming record
     inc_ids = inc_sig.select("image_id")
@@ -481,10 +687,19 @@ def run_incremental_match(
     append_once(lambda: inc_sig, "signatures")
     # keep the registry band table current: the NEXT increment's link join
     # must see this increment's records as priors (banded here, once —
-    # O(|incoming|) band rows; never re-derived from the registry again)
+    # O(|incoming|) band rows; never re-derived from the registry again).
+    # Appends keep the committed layout: bucket partition dirs (aligned
+    # with the initial write so partition pruning spans every commit) and
+    # per-file band_key blooms — the knob that makes LATER increments skip
+    # this increment's files unless they actually band-collide with it.
     append_once(
-        lambda: band_keys(inc_sig, cfg).select("band_key", "image_id", "phash"),
+        lambda: with_band_bucket(band_keys(inc_sig, cfg), cfg).repartition(
+            cfg.shuffle_partitions, "band_bucket"
+        ),
         "priors_bands",
+        partition_by=["band_bucket"],
+        bloom_col="band_key",
+        bloom_max_rows=cfg.bloom_max_keys,
     )
 
     # clusters is a small aggregate over members — recomputed, not appended
@@ -495,10 +710,15 @@ def run_incremental_match(
         .withColumn("datetime", F.current_timestamp())
     )
     catalog.write_table(clusters, "clusters", config_hash=ch)
-    # the durable CC working table served its purpose once the appends
-    # committed — drop it (mirrors pipeline.py's drop of cc_edges) so the
-    # last increment's edge snapshot doesn't linger in the catalog forever
+    # the durable CC working table and merge scratch snapshots served
+    # their purpose once the appends committed — drop them (mirrors
+    # pipeline.py's drop of cc_edges) so the last increment's
+    # intermediates don't linger in the catalog forever
     catalog.drop_table("cc_edges_incremental")
+    catalog.drop_table(scr_matches)
+    catalog.drop_table(scr_assign)
+    catalog.drop_table(f"{scr_verify}_hamming")
+    catalog.drop_table(f"{scr_verify}_base")
     summary = {
         "incoming": catalog.table_meta("incoming_signatures")["counts"]["rows_out"],
         "accepted_into_registry": n_accepted,

@@ -33,6 +33,7 @@ from customer_er_spark.config import ERConfig
 from customer_er_spark.operators.candidates import (
     band_keys,
     candidate_pairs_from_bands,
+    with_band_bucket,
 )
 from customer_er_spark.operators.components import connected_components
 from customer_er_spark.operators.signatures import compute_signatures
@@ -56,13 +57,15 @@ def run_initial(
     metrics = StageMetrics(spark, catalog)
     summary: dict[str, dict] = {}
 
-    def stage(name: str, inputs: dict[str, str], build, rows_in: int):
+    def stage(name: str, inputs: dict[str, str], build, rows_in: int,
+              **write_kwargs):
         t0 = time.time()
         if catalog.has_snapshot(name, ch, inputs):
             summary[name] = {"resumed": True, **catalog.table_meta(name)["counts"]}
             return catalog.read_table(name)
         df = build()
-        manifest = catalog.write_table(df, name, config_hash=ch, inputs=inputs)
+        manifest = catalog.write_table(df, name, config_hash=ch, inputs=inputs,
+                                       **write_kwargs)
         out = catalog.read_table(name)
         rows_out = manifest["counts"]["rows_out"]
         metrics.record(
@@ -86,11 +89,21 @@ def run_initial(
     # (plans/incremental.py link_pairs) join their band keys against this
     # table instead of re-banding the whole registry on every run, and
     # each merge appends the incoming band rows — the registry is banded
-    # exactly once per record, ever.
+    # exactly once per record, ever.  Physical layout is built for the
+    # increment reader: hash-bucket partition dirs on
+    # pmod(band_key, band_buckets) (repartitioned on the bucket first so
+    # each bucket lands in ~one file instead of one per task) plus
+    # per-file band_key blooms for small files, so run_link can prune the
+    # registry scan to touched buckets / colliding files driver-side.
     bands = stage(
         "priors_bands", sig_snap,
-        lambda: band_keys(sig, cfg).select("band_key", "image_id", "phash"),
+        lambda: with_band_bucket(band_keys(sig, cfg), cfg).repartition(
+            cfg.shuffle_partitions, "band_bucket"
+        ),
         n_images,
+        partition_by=["band_bucket"],
+        bloom_col="band_key",
+        bloom_max_rows=cfg.bloom_max_keys,
     )
     bands_snap = {
         **sig_snap,
@@ -98,7 +111,11 @@ def run_initial(
     }
 
     def build_pairs():
-        pairs, band_stats = candidate_pairs_from_bands(bands, cfg)
+        # band_bucket is physical-layout state for the increment reader —
+        # project it out so it never rides the candidate-join exchange
+        pairs, band_stats = candidate_pairs_from_bands(
+            bands.select("band_key", "image_id", "phash"), cfg
+        )
         catalog.write_table(band_stats, "band_stats", config_hash=ch,
                             inputs=bands_snap)
         return pairs

@@ -179,8 +179,24 @@ def process_registry_batch(
         # double-appended image_ids)
         run_initial(spark, batch_df, catalog, cfg)
     else:
-        run_link(spark, batch_df, catalog, cfg, run_key=f"batch-{batch_id}")
+        import time
+
+        t0 = time.time()
+        link = run_link(spark, batch_df, catalog, cfg,
+                        run_key=f"batch-{batch_id}")
         run_incremental_match(spark, batch_df, catalog, cfg)
+        # per-batch ingest metrics (wall + pruned registry-scan footprint):
+        # the audit trail that streaming increments stay registry-size-
+        # independent; read back by tools/bench_stream.py
+        inc_meta = catalog.table_meta("incoming_signatures") or {}
+        catalog.set_state(
+            f"batch_metrics::{batch_id}",
+            {
+                "wall_sec": round(time.time() - t0, 3),
+                "incoming_rows": inc_meta.get("counts", {}).get("rows_out"),
+                "registry_scan": link.get("registry_scan"),
+            },
+        )
     catalog.set_state(FENCE, batch_id)
 
 
@@ -191,6 +207,7 @@ def stream_images_to_registry(
     cfg: ERConfig,
     checkpoint_dir: str,
     available_now: bool = True,
+    max_files_per_trigger: int = 4,
 ):
     """File-source micro-batch ingest into the dedup registry.
 
@@ -223,7 +240,7 @@ def stream_images_to_registry(
 
     stream = (
         spark.readStream.schema(IMAGES_SCHEMA)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
     writer = (

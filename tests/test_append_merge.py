@@ -258,6 +258,43 @@ def test_refresh_member_scores(spark, append_run):
     assert refresh_member_scores(spark, catalog, CFG)["delta_files"] == 0
 
 
+def test_catalog_mode_merge_has_no_localcheckpoint(
+    spark, small_corpus, tmp_path, monkeypatch
+):
+    """r5 verdict #2: with a durable catalog, EVERY execution barrier of
+    the incremental path (link verify internals, within-incoming matches,
+    CC rounds at cc_checkpoint_every=1, new assignments) commits through
+    the catalog — localCheckpoint (non-recomputable after executor loss)
+    must never be reached.  Enforced by making it explode."""
+    from customer_er_spark.catalog import SparkCatalog
+    from pyspark.sql import DataFrame
+
+    cfg = ERConfig(shuffle_partitions=8, cc_checkpoint_every=1)
+    catalog = SparkCatalog(spark, str(tmp_path / "durable_cat"))
+    initial = spark.read.parquet(f"{small_corpus['dir']}/images_initial.parquet")
+    incoming = spark.read.parquet(
+        f"{small_corpus['dir']}/images_incremental.parquet"
+    )
+    run_initial(spark, initial, catalog, cfg)
+
+    def boom(self, eager=True):
+        raise AssertionError(
+            "localCheckpoint reached in catalog-mode incremental path"
+        )
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", boom)
+    run_link(spark, incoming, catalog, cfg, run_key="durable")
+    summary = run_incremental_match(spark, incoming, catalog, cfg)
+    assert summary["total_members"] == small_corpus["rows"]
+    # merge scratch snapshots are cleaned up after the appends commit
+    leftovers = [
+        t for t in catalog.list_tables()
+        if t.startswith(("incr_matches", "incr_assign", "incr_verify",
+                         "link_verify", "cc_edges_incremental"))
+    ]
+    assert leftovers == [], leftovers
+
+
 def _mk_vp(spark, rows):
     return spark.createDataFrame(
         rows,

@@ -146,6 +146,57 @@ def test_second_increment_does_not_reband_priors(
     assert m["precision"] >= 0.95, m
 
 
+def test_pruned_registry_scan(spark, small_corpus, tmp_path):
+    """Manifest-level file pruning of the link's registry scan (r5 verdict
+    #1): the committed priors_bands is bucket-partitioned with per-file
+    band_key blooms, and a micro-increment reads only the files it can
+    band-collide with — while a true-duplicate increment still finds and
+    accepts every link (pruning is lossless)."""
+    from customer_er_spark.catalog import SparkCatalog
+    from customer_er_spark.datagen import write_corpus
+
+    catalog = SparkCatalog(spark, str(tmp_path / "prune_cat"))
+    initial = spark.read.parquet(f"{small_corpus['dir']}/images_initial.parquet")
+    incoming = spark.read.parquet(
+        f"{small_corpus['dir']}/images_incremental.parquet"
+    )
+    run_initial(spark, initial, catalog, CFG)
+
+    # layout contract: bucket partition dirs + per-file blooms in manifest
+    pb = catalog.table_meta("priors_bands")
+    assert all("file" in e and "bytes" in e for e in pb["data_files"])
+    assert all("band_bucket=" in e["file"] for e in pb["data_files"])
+    assert any("bloom" in e for e in pb["data_files"])
+
+    # grow the registry by one merge so append files exist too
+    run_link(spark, incoming, catalog, CFG, run_key="grow")
+    run_incremental_match(spark, incoming, catalog, CFG)
+
+    # leg 1: a DISJOINT micro-increment (fresh generator universe) —
+    # almost nothing in the registry shares a band with it, so the scan
+    # must skip most files (survivors = rare true chunk collisions +
+    # bloom false positives)
+    write_corpus(str(tmp_path / "fresh"), n_base=5, dup_fraction=0.0,
+                 seed=31337)
+    micro = spark.read.parquet(
+        str(tmp_path / "fresh" / "images.parquet")
+    ).withColumn("image_id", F.concat(F.lit("new_"), F.col("image_id")))
+    s = run_link(spark, micro, catalog, CFG, run_key="micro")
+    scan = s["registry_scan"]
+    assert scan is not None and scan["bloom_pruning"] is True
+    assert scan["files_read"] < scan["files_total"] // 4, scan
+    assert scan["bytes_read"] < scan["bytes_total"], scan
+
+    # leg 2: true duplicates of registry records — identical phash, so
+    # every one must still link and accept despite the pruned scan
+    dups = initial.limit(3).withColumn(
+        "image_id", F.concat(F.lit("dup_"), F.col("image_id"))
+    )
+    s2 = run_link(spark, dups, catalog, CFG, run_key="dups")
+    assert s2["decisions"].get("accept", 0) == 3, s2
+    assert s2["registry_scan"]["files_read"] >= 1
+
+
 def test_link_review_artifact(spark, small_corpus, incremental_run):
     """The review table mirrors the review-decision subset with both-side
     captions (the reference's human-in-the-loop artifact, 03:283-288).

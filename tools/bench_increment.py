@@ -1,15 +1,22 @@
-"""Increment-cost evidence: link+merge wall time for a FIXED-SIZE increment
-against registries of growing size.
+"""Increment-cost evidence: link+merge wall time AND registry bytes read
+for a FIXED-SIZE increment against registries of growing size.
 
 The banded-once contract (plans/incremental.py) claims an increment costs
 O(|incoming|) compute — the registry is scanned (columnar, 3 narrow
-columns) but never exploded, shuffled, or window-counted.  This tool
-measures it: build registries of n and k*n images from the same
-deterministic generator, run the SAME m-image increment against each, and
-report the wall-time ratio.  Under the old re-band-every-run shape the
-link step scaled with the registry (band explode = 60 rows per prior per
-run); under the banded-once shape the ratio should stay near 1 (plus the
-registry scan, which is I/O-bound and tiny at these sizes).
+columns) but never exploded, shuffled, or window-counted — and, since the
+bucket+bloom manifest pruning landed, that the SCAN itself is pruned to
+the files the increment can actually band-collide with.  Two phases:
+
+  rebuild   registries of n and k*n images via run_initial, the SAME
+            m-image increment against each: wall-time ratio (compute is
+            O(incoming)) + the link's registry_scan stats.
+  appends   one registry grown from n toward k*n by successive DISJOINT
+            m-image increments (the streaming-ingest shape): per-step
+            registry_scan stats.  The claim under test: bytes_read stays
+            bounded by actual band collisions (initial-snapshot touched
+            files + colliding/bloom-FP append files) while bytes_total
+            grows with every merge — i.e. the scan is output-sensitive,
+            not registry-sized.
 
 Writes bench_out/increment_scaling.json and prints one JSON line.
 
@@ -75,7 +82,7 @@ def main() -> None:
                 run_initial(spark, images, catalog, cfg)
                 # best-of-2 on the increment (host jitter defense); each
                 # run uses a fresh run_key so nothing resumes
-                walls = []
+                walls, scan = [], None
                 for i in range(2):
                     # wipe the merge's effects so each run links against
                     # the SAME registry state
@@ -84,16 +91,18 @@ def main() -> None:
                     shutil.copytree(cat_dir, cat2)
                     c2 = SparkCatalog(spark, cat2)
                     t0 = time.time()
-                    run_link(spark, incoming, c2, cfg, run_key=f"r{i}")
+                    ls = run_link(spark, incoming, c2, cfg, run_key=f"r{i}")
                     run_incremental_match(spark, incoming, c2, cfg)
                     walls.append(round(time.time() - t0, 3))
+                    scan = ls.get("registry_scan")
                     shutil.rmtree(cat2, ignore_errors=True)
                 out["sizes"][str(n)] = {
                     "registry_images": n,
                     "walls": walls,
                     "best": min(walls),
+                    "registry_scan": scan,
                 }
-                print(f"# registry {n}: increment walls {walls}",
+                print(f"# registry {n}: increment walls {walls} scan {scan}",
                       file=sys.stderr)
             finally:
                 shutil.rmtree(reg_dir, ignore_errors=True)
@@ -105,6 +114,58 @@ def main() -> None:
     big = out["sizes"][str(n_small * growth)]["best"]
     out["wall_ratio_big_vs_small"] = round(big / small, 3)
     out["registry_growth"] = growth
+
+    # appends phase: ONE registry grown by successive disjoint increments
+    # (streaming-ingest shape); the scan stats per step are the evidence
+    # that per-increment registry I/O tracks band collisions, not size
+    reg_dir = tempfile.mkdtemp(prefix="reg_app_")
+    cat_dir = tempfile.mkdtemp(prefix="cat_app_")
+    steps = []
+    try:
+        write_corpus(reg_dir, n_base=int(n_small / 1.25), dup_fraction=0.25,
+                     seed=42)
+        images = spark.read.parquet(f"{reg_dir}/images.parquet")
+        catalog = SparkCatalog(spark, cat_dir)
+        run_initial(spark, images, catalog, cfg)
+        n_steps = max(2, (n_small * (growth - 1)) // m_inc)
+        n_steps = min(n_steps, 12)  # bound tool wall time
+        for i in range(n_steps):
+            step_dir = tempfile.mkdtemp(prefix=f"step_{i}_")
+            try:
+                write_corpus(step_dir, n_base=int(m_inc / 1.25),
+                             dup_fraction=0.25, seed=1000 + i)
+                inc = spark.read.parquet(
+                    f"{step_dir}/images.parquet"
+                ).withColumn(
+                    "image_id", F.concat(F.lit(f"a{i}_"), F.col("image_id"))
+                )
+                reg_before = catalog.table_meta("signatures")["counts"][
+                    "rows_out"
+                ]
+                t0 = time.time()
+                ls = run_link(spark, inc, catalog, cfg, run_key=f"s{i}")
+                run_incremental_match(spark, inc, catalog, cfg)
+                steps.append({
+                    "step": i,
+                    "registry_rows_before": reg_before,
+                    "wall": round(time.time() - t0, 3),
+                    "registry_scan": ls.get("registry_scan"),
+                })
+            finally:
+                shutil.rmtree(step_dir, ignore_errors=True)
+        out["append_growth"] = steps
+        first = steps[0]["registry_scan"] or {}
+        last = steps[-1]["registry_scan"] or {}
+        if first.get("bytes_read") and last.get("bytes_total"):
+            out["append_bytes_read_ratio_last_vs_first"] = round(
+                last["bytes_read"] / first["bytes_read"], 3
+            )
+            out["append_bytes_total_ratio_last_vs_first"] = round(
+                last["bytes_total"] / first["bytes_total"], 3
+            )
+    finally:
+        shutil.rmtree(reg_dir, ignore_errors=True)
+        shutil.rmtree(cat_dir, ignore_errors=True)
     out["_ts"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     os.makedirs(os.path.join(REPO, "bench_out"), exist_ok=True)
     with open(os.path.join(REPO, "bench_out", "increment_scaling.json"),
