@@ -23,7 +23,9 @@ at 10^12 rows, lexicographic min as the deterministic tie-break.
 Scale: every round is groupBy(min) + self-join on node id — both shuffle on
 the same key so the exchange is reused; lineage is truncated with an eager
 localCheckpoint every `checkpoint_every` rounds (on a cluster: a checkpoint
-table write via the catalog).  Convergence test = one exceptAll(limit 1).
+table write via the catalog).  Convergence test = observed metrics
+(count, bit_xor of row hashes) collected BY the materialization action
+itself — zero extra jobs per round.
 """
 
 from __future__ import annotations
@@ -84,6 +86,31 @@ def connected_components(
     downstream output is committed.  Without a catalog, lineage is
     truncated with ephemeral localCheckpoints (single-process mode).
     """
+    from pyspark.sql import Observation
+
+    def _observed(e: DataFrame) -> tuple[DataFrame, Observation]:
+        # order-independent set signature (count, bit_xor of row hashes),
+        # attached as OBSERVED metrics so the materialization action
+        # (checkpoint write / localCheckpoint) computes it for free — one
+        # job per round instead of two (the r5 profile showed the
+        # assignments stage as nearly all fixed per-round cost).  False
+        # convergence needs a 2^-64 xor collision at equal count.
+        obs = Observation()
+        return e.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("x"),
+        ), obs
+
+    def _sig_job(e: DataFrame) -> tuple:
+        # resume path only: the checkpoint table is already materialized,
+        # so the signature costs one explicit agg job
+        row = e.select(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("x"),
+        ).collect()[0]
+        return (row["n"], row["x"])
+
     edges = (
         pairs.select(F.col("id_l").alias("src"), F.col("id_r").alias("dst"))
         .where(F.col("src") != F.col("dst"))
@@ -91,41 +118,37 @@ def connected_components(
     )
     start_round = 0
     lineage = inputs or {}
+    sig = None
     if catalog is not None:
         meta = catalog.table_meta(checkpoint_table)
         if meta is not None and meta.get("inputs") == lineage and "cc_round" in meta:
             edges = catalog.read_table(checkpoint_table)  # resume mid-fixpoint
             start_round = meta["cc_round"]
+            sig = _sig_job(edges)
         else:
+            obs_e, obs = _observed(edges)
             catalog.write_table(
-                edges, checkpoint_table, inputs=lineage, extra_meta={"cc_round": 0}
+                obs_e, checkpoint_table, inputs=lineage,
+                extra_meta={"cc_round": 0},
             )
             edges = catalog.read_table(checkpoint_table)
+            sig = (obs.get["n"], obs.get["x"])
     else:
-        edges = edges.localCheckpoint(eager=True)
+        obs_e, obs = _observed(edges)
+        edges = obs_e.localCheckpoint(eager=True)
+        sig = (obs.get["n"], obs.get["x"])
 
-    def _sig(e: DataFrame) -> tuple:
-        # order-independent set signature: (count, bit_xor of row hashes) —
-        # one cheap agg job per round instead of two exceptAll shuffles;
-        # false convergence needs a 2^-64 xor collision at equal count
-        row = e.select(
-            F.count("*").alias("n"),
-            F.expr("bit_xor(xxhash64(src, dst))").alias("x"),
-        ).collect()[0]
-        return (row["n"], row["x"])
-
-    sig = _sig(edges)
     for it in range(start_round, max_iterations):
-        new_edges = _small_star(_large_star(edges))
+        obs_e, obs = _observed(_small_star(_large_star(edges)))
         if catalog is not None and (it + 1) % checkpoint_every == 0:
             catalog.write_table(
-                new_edges, checkpoint_table, inputs=lineage,
+                obs_e, checkpoint_table, inputs=lineage,
                 extra_meta={"cc_round": it + 1},
             )
             new_edges = catalog.read_table(checkpoint_table)
         else:
-            new_edges = new_edges.localCheckpoint(eager=True)
-        new_sig = _sig(new_edges)
+            new_edges = obs_e.localCheckpoint(eager=True)
+        new_sig = (obs.get["n"], obs.get["x"])
         edges = new_edges
         if new_sig == sig:
             break

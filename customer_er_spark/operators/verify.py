@@ -243,7 +243,9 @@ def verify_pairs(
 
     Tier-0 FIRST, with the narrowest possible attach: the pHash Hamming
     gate joins only (image_id, phash) — 8 bytes per side — to every
-    candidate pair.  On realistic corpora the bulk of LSH candidates are
+    candidate pair (and not even that when the pairs already carry
+    hamming or phash_l/phash_r from their generator — see the tier-0
+    input note in the body).  On realistic corpora the bulk of LSH candidates are
     random 16-bit band-key collisions that fail this gate; shipping the
     full MinHash array (~1 KB per side) to those pairs would dominate the
     verify shuffle (measured: 17.4M candidates for 240k images, almost all
@@ -259,26 +261,44 @@ def verify_pairs(
     No broadcast hints anywhere: the refinement sets are data-dependent;
     AQE picks broadcast at runtime when a side is actually small.
     """
-    sig_ph = signatures.select("image_id", "phash")
-    ph = (
-        pairs.join(
-            sig_ph.select(
-                F.col("image_id").alias("id_l"), F.col("phash").alias("phash_l")
-            ),
+    # tier-0 input: callers whose pair generator already paid for the
+    # hashes (the banded candidate join emits phash_l/phash_r; the
+    # incremental link emits hamming itself) skip the two-attach join —
+    # it cannot filter anything the in-band gate didn't, so recomputing
+    # bit_count inline is strictly cheaper than two joins over signatures
+    if "hamming" in pairs.columns:
+        ph = pairs.select("id_l", "id_r", "hamming")
+    elif {"phash_l", "phash_r"}.issubset(pairs.columns):
+        ph = pairs.select(
             "id_l",
-        )
-        .join(
-            sig_ph.select(
-                F.col("image_id").alias("id_r"), F.col("phash").alias("phash_r")
-            ),
             "id_r",
+            F.bit_count(
+                F.col("phash_l").bitwiseXOR(F.col("phash_r"))
+            ).alias("hamming"),
         )
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("phash_l").bitwiseXOR(F.col("phash_r"))),
+    else:
+        sig_ph = signatures.select("image_id", "phash")
+        ph = (
+            pairs.join(
+                sig_ph.select(
+                    F.col("image_id").alias("id_l"),
+                    F.col("phash").alias("phash_l"),
+                ),
+                "id_l",
+            )
+            .join(
+                sig_ph.select(
+                    F.col("image_id").alias("id_r"),
+                    F.col("phash").alias("phash_r"),
+                ),
+                "id_r",
+            )
+            .withColumn(
+                "hamming",
+                F.bit_count(F.col("phash_l").bitwiseXOR(F.col("phash_r"))),
+            )
+            .select("id_l", "id_r", "hamming")
         )
-        .select("id_l", "id_r", "hamming")
-    )
     # narrow (3 columns) but feeds both branches: materialize once — a
     # durable snapshot commit when a catalog is supplied (cluster mode),
     # localCheckpoint otherwise (single-box fallback).  The default scratch

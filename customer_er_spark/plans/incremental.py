@@ -145,9 +145,13 @@ def link_pairs(
             p -> p.hd <= {cfg.phash_hamming_max})))
         """
     )
+    # hamming rides along (computed for the gate anyway): verify_pairs
+    # skips its tier-0 attach join on pairs that already carry it.
+    # distinct over (id_l, id_r, hamming) equals distinct over the pair —
+    # hamming is a function of the two ids.
     pairs = (
         buckets.select(F.explode(pair_expr).alias("p"))
-        .select("p.id_l", "p.id_r")
+        .select("p.id_l", "p.id_r", F.col("p.hd").alias("hamming"))
         .distinct()
     )
     return pairs, band_stats
