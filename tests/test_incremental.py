@@ -197,6 +197,44 @@ def test_pruned_registry_scan(spark, small_corpus, tmp_path):
     assert s2["registry_scan"]["files_read"] >= 1
 
 
+def test_link_rebands_on_lineage_divergence(spark, small_corpus, tmp_path):
+    """r5 advice: a crash between the signatures append and the
+    priors_bands append of a never-replayed batch leaves registry records
+    invisible to link candidate generation.  run_link cross-checks
+    rows(priors_bands) == bands_per_record * rows(signatures) and
+    re-bands the registry once when they diverge."""
+    from customer_er_spark.catalog import SparkCatalog
+    from customer_er_spark.operators.candidates import bands_per_record
+
+    catalog = SparkCatalog(spark, str(tmp_path / "div_cat"))
+    initial = spark.read.parquet(f"{small_corpus['dir']}/images_initial.parquet")
+    incoming = spark.read.parquet(
+        f"{small_corpus['dir']}/images_incremental.parquet"
+    )
+    run_initial(spark, initial, catalog, CFG)
+
+    # simulate the crash window: signatures gains rows (as the merge's
+    # signatures append would) but priors_bands does not
+    extra = catalog.read_table("signatures").limit(5).withColumn(
+        "image_id", F.concat(F.lit("lost_"), F.col("image_id"))
+    )
+    catalog.append_table(extra, "signatures", config_hash=CFG.config_hash())
+    n_sig = catalog.table_meta("signatures")["counts"]["rows_out"]
+    assert catalog.table_meta("priors_bands")["counts"]["rows_out"] != (
+        bands_per_record(CFG) * n_sig
+    )
+
+    run_link(spark, incoming, catalog, CFG, run_key="heal")
+    # the re-band healed the divergence: every signature row (including
+    # the "lost" ones) is banded again — visibility to candidate
+    # generation follows because the re-band runs band_keys over the
+    # FULL current signatures table
+    pb = catalog.table_meta("priors_bands")
+    assert pb["counts"]["rows_out"] == bands_per_record(CFG) * n_sig
+    # healed layout keeps the pruning contract (buckets + blooms)
+    assert all("band_bucket=" in e["file"] for e in pb["data_files"])
+
+
 def test_link_review_artifact(spark, small_corpus, incremental_run):
     """The review table mirrors the review-decision subset with both-side
     captions (the reference's human-in-the-loop artifact, 03:283-288).
