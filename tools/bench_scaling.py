@@ -226,6 +226,20 @@ resource this single box cannot add.
             f"**efficiency {sp / 4:.3f}**.\n"
         )
 
+    # hand-written "## Round-N addendum" sections survive regeneration:
+    # they carry evidence from OTHER tools (bench_increment, bench_stream,
+    # same-window A/Bs) that this script cannot reproduce
+    import re as _re
+
+    prev_addenda = ""
+    prev_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    if os.path.exists(prev_path):
+        with open(prev_path) as pf:
+            prev = pf.read()
+        m = _re.search(r"^## Round-\d+ addendum", prev, _re.M)
+        if m:
+            prev_addenda = "\n" + prev[m.start():]
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     ts = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
     runs_table = "\n".join(
@@ -315,7 +329,7 @@ would not see; there is no network shuffle cost (which works in the
 opposite direction).  The job itself sizes shuffle partitions to the core
 count and relies on AQE coalesce + skew-join, i.e. the same knobs a real
 4N-executor cluster run would use.
-{ceiling_md}""")
+{ceiling_md}{prev_addenda}""")
     print("wrote BENCH/BASELINE.md", file=sys.stderr)
 
 
