@@ -514,6 +514,53 @@ def q_csv_scan(spark, sf):
     return read_table_csv(spark, _CSV_SCAN_DIR, _CSV_SCAN_SCHEMA)
 
 
+def q_census_counts(spark, sf):
+    """Stateful streaming census (streaming/streams.stateful_dedup_counts,
+    applyInPandasWithState) run to COMPLETION inside the query: the
+    documents table is staged as a multi-file source, streamed in several
+    availableNow micro-batches through the per-key state operator, and the
+    update-mode emissions are folded to the final state per key (n_copies
+    is monotone nondecreasing across batches, keep_id nonincreasing, so
+    max/min recover the last state exactly).  The final census equals the
+    batch exact_dedup aggregate by construction — which is precisely what
+    the DuckDB oracle computes, making the custom stateful operator
+    value-checkable instead of pytest-only (r6 verdict #7)."""
+    import tempfile
+
+    from customer_er_spark.streaming.streams import stateful_dedup_counts
+
+    docs = _t(spark, sf, "documents")
+    tmp = tempfile.mkdtemp(prefix="census_q_")
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    docs.repartition(6).write.parquet(src)  # several micro-batches
+
+    def sink(batch_df, _batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    q = (
+        stateful_dedup_counts(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("text_hash")
+        .agg(
+            F.max("n_copies").alias("n_copies"),
+            F.min("keep_id").alias("keep_id"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal: MP4 container parsing (deterministic synthesized table —
 # no video column exists in the driver testdata; the input is built
@@ -733,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_overlap": q_numeric_overlap,
         "numeric_units_overlap": q_numeric_units_overlap,
         "csv_scan": q_csv_scan,
+        "census_counts": q_census_counts,
         "embedding_topk": q_embedding_topk,
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_topk_ivf": q_embedding_topk_ivf,
@@ -1034,6 +1082,11 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY value DESC, event_id ASC LIMIT 100
         """,
         "distinct_types": "SELECT DISTINCT event_type FROM events",
+        "census_counts": f"""
+            SELECT md5({_NORM}) AS text_hash, count(*) AS n_copies,
+                   min(doc_id) AS keep_id
+            FROM documents GROUP BY 1
+        """,
         "exact_dedup": f"""
             SELECT md5({_NORM}) AS text_hash, count(*) AS n_copies,
                    min(doc_id) AS keep_id

@@ -47,6 +47,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class SparkCatalog:
+    backend = "parquet"  # vs IcebergCatalog's "iceberg" — readers that
+    #                      prune driver-side branch on this
+
     def __init__(self, spark: SparkSession, base_dir: str):
         self.spark = spark
         self.base_dir = base_dir
@@ -112,9 +115,51 @@ class SparkCatalog:
                 f"overwrite_schema=True to write_table to evolve it"
             )
 
-    @staticmethod
-    def _paths(meta: dict) -> list[str]:
-        return meta.get("paths") or [meta["path"]]
+    # -- path relativity --------------------------------------------------------
+    # Manifests record snapshot dirs and data files RELATIVE to the catalog
+    # base dir (r6 advice): a moved/renamed catalog keeps working — reads
+    # and pruned scans resolve against the CURRENT base dir.  Legacy
+    # absolute entries still resolve (back-compat).
+    def _abs(self, p: str) -> str:
+        return p if os.path.isabs(p) else os.path.join(self.base_dir, p)
+
+    def _rel(self, p: str) -> str:
+        base = os.path.abspath(self.base_dir)
+        return (
+            os.path.relpath(p, base)
+            if os.path.isabs(p) and os.path.abspath(p).startswith(base + os.sep)
+            else p
+        )
+
+    def _paths(self, meta: dict) -> list[str]:
+        return [self._abs(p) for p in (meta.get("paths") or [meta["path"]])]
+
+    def resolve_file(self, entry: dict) -> str:
+        """Absolute path of one manifest data-file entry."""
+        return self._abs(entry["file"])
+
+    def file_bloom(self, entry: dict) -> dict | None:
+        """Key bloom for one data-file entry: inline (legacy manifests) or
+        from the snapshot dir's `_blooms.json` sidecar (the poor-man's
+        Iceberg puffin file — blooms live next to the data files they
+        describe, written once per commit, never rewritten, so the
+        manifest itself stays small no matter how many appends
+        accumulate)."""
+        if "bloom" in entry:
+            return entry["bloom"]
+        if not entry.get("bloom_sidecar"):
+            return None
+        full = self._abs(entry["file"])
+        spath = os.path.join(
+            full[: -len(entry["path"]) - 1], "_blooms.json"
+        )
+        cache = getattr(self, "_bloom_sidecars", None)
+        if cache is None:
+            cache = self._bloom_sidecars = {}
+        if spath not in cache:  # sidecars are immutable per snapshot dir
+            with open(spath) as f:
+                cache[spath] = json.load(f)
+        return cache[spath].get(entry["path"])
 
     # -- IO -------------------------------------------------------------------
     def _commit(
@@ -129,6 +174,7 @@ class SparkCatalog:
         overwrite_schema: bool,
         bloom_col: str | None = None,
         bloom_max_rows: int = 100_000,
+        write_options: dict | None = None,
     ) -> dict:
         self._check_schema(name, df.schema.jsonValue(), overwrite_schema, mode)
         snap_id = f"snap-{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
@@ -136,6 +182,8 @@ class SparkCatalog:
         os.makedirs(tdir, exist_ok=True)
         data_dir = os.path.join(tdir, snap_id)
         writer = df.write.mode("overwrite")
+        if write_options:  # e.g. maxRecordsPerFile for pruning-grained files
+            writer = writer.options(**write_options)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
@@ -150,49 +198,66 @@ class SparkCatalog:
         data_dir: str,
         bloom_col: str | None = None,
         bloom_max_rows: int = 100_000,
+        rel_to: str | None = None,
     ) -> list[dict]:
         """Per-file row counts by summing parquet footers (pyarrow,
-        recursive for partitioned layouts) — no Spark job at all: a
-        count() would schedule a scan per commit, and recomputing the plan
-        is exactly what the committed files exist to avoid.
+        recursive for partitioned layouts, thread pool — footer reads are
+        I/O-bound and release the GIL) — no Spark job at all: a count()
+        would schedule a scan per commit, and recomputing the plan is
+        exactly what the committed files exist to avoid.
 
         When `bloom_col` names an int64 key column, every file with at
-        most `bloom_max_rows` rows also gets a per-file bloom filter over
-        that column (functions/bloom.py) embedded in its manifest entry —
-        the poor-man's Iceberg puffin file that lets readers prune data
-        files driver-side by key set.  Larger files skip the bloom by
+        most `bloom_max_rows` rows also gets (a) a per-file bloom filter
+        over that column, written to the snapshot dir's `_blooms.json`
+        SIDECAR (the poor-man's Iceberg puffin file; the underscore name
+        makes Spark's scan ignore it), and (b) the column's min/max in
+        the manifest entry (`kmin`/`kmax`) — files are written sorted by
+        the key column, so the range alone prunes most probe keys before
+        the bloom is even consulted.  Larger files skip the bloom by
         design: they belong to bulk snapshots where hash-bucket partition
-        pruning is the effective lever and a useful bloom would bloat the
-        manifest."""
+        pruning is the effective lever.
+
+        File paths are recorded relative to `rel_to` (the catalog base
+        dir) so a moved catalog keeps pruning (r6 advice)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         import pyarrow.parquet as pq
 
-        data_files = []
-        for root, _dirs, files in os.walk(data_dir):
-            for f in sorted(files):
+        files = []
+        for root, _dirs, fs in os.walk(data_dir):
+            for f in sorted(fs):
                 if f.endswith(".parquet"):
-                    full = os.path.join(root, f)
-                    entry = {
-                        "path": os.path.relpath(full, data_dir),
-                        "file": full,
-                        "rows": pq.ParquetFile(full).metadata.num_rows,
-                        "bytes": os.path.getsize(full),
-                    }
-                    if (
-                        bloom_col is not None
-                        and 0 < entry["rows"] <= bloom_max_rows
-                    ):
-                        from customer_er_spark.functions import bloom
+                    files.append(os.path.join(root, f))
 
-                        keys = (
-                            pq.read_table(full, columns=[bloom_col])
-                            .column(0)
-                            .to_numpy()
-                        )
-                        entry["bloom"] = {
-                            "col": bloom_col, **bloom.build(keys)
-                        }
-                    data_files.append(entry)
-        data_files.sort(key=lambda d: d["path"])
+        def one(full: str) -> tuple[dict, dict | None]:
+            entry = {
+                "path": os.path.relpath(full, data_dir),
+                "file": os.path.relpath(full, rel_to) if rel_to else full,
+                "rows": pq.ParquetFile(full).metadata.num_rows,
+                "bytes": os.path.getsize(full),
+            }
+            bl = None
+            if bloom_col is not None and 0 < entry["rows"] <= bloom_max_rows:
+                from customer_er_spark.functions import bloom
+
+                keys = (
+                    pq.read_table(full, columns=[bloom_col])
+                    .column(0)
+                    .to_numpy()
+                )
+                entry["kmin"] = int(keys.min())
+                entry["kmax"] = int(keys.max())
+                entry["bloom_sidecar"] = True
+                bl = {"col": bloom_col, **bloom.build(keys)}
+            return entry, bl
+
+        with ThreadPoolExecutor(min(16, max(1, len(files)))) as ex:
+            results = list(ex.map(one, files))
+        data_files = sorted((e for e, _ in results), key=lambda d: d["path"])
+        blooms = {e["path"]: b for e, b in results if b is not None}
+        if blooms:
+            with open(os.path.join(data_dir, "_blooms.json"), "w") as f:
+                json.dump(blooms, f)
         return data_files
 
     def _finalize_commit(
@@ -208,28 +273,31 @@ class SparkCatalog:
         bloom_col: str | None = None,
         bloom_max_rows: int = 100_000,
     ) -> dict:
-        data_files = self._footer_files(data_dir, bloom_col, bloom_max_rows)
+        data_files = self._footer_files(
+            data_dir, bloom_col, bloom_max_rows, rel_to=self.base_dir
+        )
         n_files = len(data_files)
         rows_new = sum(d["rows"] for d in data_files)
         old = self.table_meta(name)
         if mode == "append" and old is not None:
-            paths = self._paths(old) + [data_dir]
+            paths = (old.get("paths") or [old["path"]]) + [self._rel(data_dir)]
             rows_out = old["counts"]["rows_out"] + rows_new
             # the manifest's file list spans the WHOLE snapshot (Iceberg
             # semantics): appended entries accumulate so readers can prune
             # at file granularity across every commit.  Pre-upgrade
-            # entries without an absolute "file" key disable pruning for
-            # their commit (readers fall back to the full scan).
+            # entries without a "file" key disable pruning for their
+            # commit (readers fall back to the full scan).
             data_files = list(old.get("data_files") or []) + data_files
             n_files = len(data_files)
         else:
-            paths = [data_dir]
+            paths = [self._rel(data_dir)]
             rows_out = rows_new
         manifest = {
             "table": name,
             "snapshot_id": snap_id,
-            "path": data_dir,     # newest data dir (back-compat)
+            "path": self._rel(data_dir),  # newest data dir (back-compat)
             "paths": paths,       # full snapshot = union of these dirs
+            #                       (relative to the catalog base dir)
             "schema": schema_json,
             "config_hash": config_hash,
             "inputs": inputs or {},
@@ -248,8 +316,9 @@ class SparkCatalog:
             json.dump(manifest, f, indent=1)
         os.replace(tmp, self._manifest_path(name))  # atomic commit
         if mode == "overwrite" and old is not None:
+            live = {self._abs(p) for p in paths}
             for p in self._paths(old):  # expire replaced snapshot dirs
-                if p not in paths and os.path.isdir(p):
+                if p not in live and os.path.isdir(p):
                     shutil.rmtree(p, ignore_errors=True)
         return manifest
 
@@ -264,6 +333,7 @@ class SparkCatalog:
         overwrite_schema: bool = False,
         bloom_col: str | None = None,
         bloom_max_rows: int = 100_000,
+        write_options: dict | None = None,
     ) -> dict:
         """Write df as a fresh snapshot and commit it atomically.
 
@@ -279,6 +349,7 @@ class SparkCatalog:
             df, name, "overwrite", config_hash, inputs, partition_by,
             extra_meta, overwrite_schema,
             bloom_col=bloom_col, bloom_max_rows=bloom_max_rows,
+            write_options=write_options,
         )
 
     def append_table(
@@ -291,6 +362,7 @@ class SparkCatalog:
         extra_meta: dict | None = None,
         bloom_col: str | None = None,
         bloom_max_rows: int = 100_000,
+        write_options: dict | None = None,
     ) -> dict:
         """Append df as a new snapshot = old data files + one new dir.
 
@@ -303,6 +375,7 @@ class SparkCatalog:
             df, name, "append", config_hash, inputs, partition_by,
             extra_meta, overwrite_schema=False,
             bloom_col=bloom_col, bloom_max_rows=bloom_max_rows,
+            write_options=write_options,
         )
 
     def write_table_local(
@@ -312,6 +385,7 @@ class SparkCatalog:
         config_hash: str = "",
         inputs: dict[str, str] | None = None,
         extra_meta: dict | None = None,
+        schema=None,
     ) -> dict:
         """Commit a SMALL driver-side row list as a snapshot with ZERO
         Spark jobs (pyarrow writes the parquet file directly).
@@ -327,14 +401,17 @@ class SparkCatalog:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        if not rows:
-            raise ValueError("write_table_local requires at least one row")
+        if not rows and schema is None:
+            raise ValueError(
+                "write_table_local requires at least one row (or an "
+                "explicit pyarrow schema for an empty commit)"
+            )
         snap_id = f"snap-{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
         tdir = self._table_dir(name)
         data_dir = os.path.join(tdir, snap_id)
         os.makedirs(data_dir, exist_ok=True)
         pq.write_table(
-            pa.Table.from_pylist(rows),
+            pa.Table.from_pylist(rows, schema=schema),
             os.path.join(data_dir, "part-00000.parquet"),
         )
         # driver-side footer read — no Spark job; lazily valid for reads
@@ -354,6 +431,14 @@ class SparkCatalog:
         if meta is None:
             raise FileNotFoundError(f"table {name!r} has no committed snapshot")
         return self.spark.read.parquet(*self._paths(meta))
+
+    def table_files(self, name: str) -> list | None:
+        """Per-file entries of the current snapshot (path, rows, bytes,
+        key range, bloom-sidecar marker) — the manifest's data_files list;
+        IcebergCatalog serves the same shape from its `.files` metadata
+        table, so scan-pruning readers are backend-agnostic."""
+        meta = self.table_meta(name)
+        return meta.get("data_files") if meta else None
 
     # -- tiny state store (streaming batch fence etc.) -------------------------
     def _state_path(self) -> str:

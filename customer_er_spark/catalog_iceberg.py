@@ -56,6 +56,7 @@ def iceberg_available(spark: SparkSession, catalog_name: str = "ice") -> bool:
 class IcebergCatalog:
     """SparkCatalog-compatible facade over a configured Iceberg catalog."""
 
+    backend = "iceberg"
     _STATE_TABLE = "_state_kv"
 
     def __init__(
@@ -184,6 +185,7 @@ class IcebergCatalog:
         overwrite_schema: bool = False,
         bloom_col: str | None = None,
         bloom_max_rows: int = 100_000,
+        write_options: dict | None = None,
     ) -> dict:
         # Iceberg's createOrReplace IS schema evolution; enforce the same
         # guard as the parquet backend when evolution wasn't requested
@@ -200,6 +202,11 @@ class IcebergCatalog:
                     "overwrite_schema=True to evolve it"
                 )
         w = df.writeTo(self._tbl(name)).using("iceberg")
+        for k, v in (write_options or {}).items():
+            w = w.option(k, v)  # e.g. maxRecordsPerFile -> small pruning-
+            #                      grained data files, same as the parquet
+            #                      backend (Iceberg also honors
+            #                      write.target-file-size-bytes)
         if partition_by:
             from pyspark.sql import functions as F
 
@@ -227,6 +234,7 @@ class IcebergCatalog:
         extra_meta: dict | None = None,
         bloom_col: str | None = None,
         bloom_max_rows: int = 100_000,
+        write_options: dict | None = None,
     ) -> dict:
         if not self._exists(name):
             return self.write_table(
@@ -241,7 +249,10 @@ class IcebergCatalog:
             df.schema.jsonValue()
         ):
             raise ValueError(f"schema change on append to table {name!r}")
-        df.writeTo(self._tbl(name)).append()
+        w = df.writeTo(self._tbl(name))
+        for k, v in (write_options or {}).items():
+            w = w.option(k, v)
+        w.append()
         # rows_out / rows_appended both come from the new snapshot's summary
         return self._stamp(name, config_hash, inputs, extra_meta)
 
@@ -249,6 +260,45 @@ class IcebergCatalog:
         if not self._exists(name):
             raise FileNotFoundError(f"table {name!r} has no committed snapshot")
         return self.spark.table(self._tbl(name))
+
+    # -- per-file manifest parity (r6 verdict #5) ------------------------------
+    def table_files(self, name: str) -> list | None:
+        """Per-file entries from Iceberg's `.files` metadata table — the
+        same shape SparkCatalog records in its manifest (file path + row
+        count + bytes; blooms stay native to Iceberg's parquet files), so
+        the incremental link's driver-side scan pruning
+        (plans/incremental._pruned_priors_bands) fires identically on both
+        backends: bucket-partition paths carry `band_bucket=N` segments on
+        Iceberg too (identity partition transform).  Returns None when the
+        metadata table is unavailable (the scan then reads the full table
+        and reports mode=iceberg-delegated — Iceberg's own planner still
+        prunes by partition + parquet blooms inside the scan)."""
+        import os
+
+        if not self._exists(name):
+            return None
+        try:
+            rows = self.spark.sql(
+                "SELECT file_path, record_count, file_size_in_bytes "
+                f"FROM {self._tbl(name)}.files"
+            ).collect()
+        except Exception:
+            return None
+        return [
+            {
+                "path": os.path.basename(r["file_path"]),
+                "file": r["file_path"],
+                "rows": int(r["record_count"]),
+                "bytes": int(r["file_size_in_bytes"]),
+            }
+            for r in rows
+        ]
+
+    def resolve_file(self, entry: dict) -> str:
+        return entry["file"]  # .files paths are absolute URIs
+
+    def file_bloom(self, entry: dict) -> dict | None:
+        return None  # blooms are native parquet metadata on Iceberg
 
     # -- tiny state store ----------------------------------------------------
     # key/payload are VALUES, never interpolated into SQL text: the read

@@ -147,6 +147,17 @@ class ERConfig:
     band_buckets: int = 64
     bloom_max_keys: int = 100_000
     prune_max_keys: int = 2_000_000
+    # file-granularity knobs: the writer targets `band_file_rows` rows per
+    # priors_bands data file (via maxRecordsPerFile over bucket-partitioned,
+    # key-sorted partitions) but never more than `band_max_files` files per
+    # bulk snapshot.  Small files are what make per-file blooms/key-ranges
+    # DISCRIMINATE: a real band collision keeps only the one small file
+    # holding it, instead of a whole bucket-sized file (r6 verdict #3 —
+    # measured: the one-file-per-bucket layout read 64/64 files at an 8k
+    # registry because ~600 real phash chunk collisions touch every large
+    # file; at ~200 rows/file the same increment reads ~25% of bytes).
+    band_file_rows: int = 200
+    band_max_files: int = 2_560
 
     # --- structured-field scoring (FieldDef list; see MATCH_TYPES above) ----
     # when non-empty, score = (w_caption*caption_sim + w_image*image_sim

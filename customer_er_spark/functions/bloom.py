@@ -54,12 +54,13 @@ def hash_keys(keys) -> tuple[np.ndarray, np.ndarray]:
 
 
 def build(keys, bits_per_key: int = 20, n_hashes: int = 10) -> dict:
-    """Defaults target ~1e-4 per-key FP: an ANY-of-k probe compounds FP
+    """Bloom over an int64 key array -> JSON-safe dict (power-of-two m).
+
+    Defaults target ~1e-4 per-key FP: an ANY-of-k probe compounds FP
     ~k-fold, and the link reader probes each file with its whole bucket's
     key slice (~|increment keys| / band_buckets keys), so the per-key
     rate must be well under 1/probe-count for file skipping to bite.  At
-    20 bits/key a 100-key file costs ~250 B of manifest."""
-    """Bloom over an int64 key array -> JSON-safe dict (power-of-two m)."""
+    20 bits/key a 100-key file costs ~250 B of sidecar."""
     h1, h2 = hash_keys(keys)
     m = 64
     while m < max(1, len(h1)) * bits_per_key:

@@ -15,15 +15,24 @@ operator needs lives in `moov`:
     trak/.../stbl/stss   sync-sample table: 1-based indices of keyframes
                          (absent => every sample is a sync sample)
 
+    trak/.../stbl/stsd   sample description: codec fourcc
+    trak/.../stbl/stsz + stsc + stco
+                         per-sample sizes + sample-to-chunk runs + chunk
+                         offsets -> each sample's absolute byte range
+
 `parse_mp4` walks that tree with bounds checks (poison rows return errors,
 never crash a stage); `sample_table` expands stts/stss into frame
-(index, t_seconds, is_sync) rows; `build_minimal_mp4` constructs a tiny
-deterministic but spec-shaped file for tests and datagen.
+(index, t_seconds, is_sync) rows; `sample_ranges` resolves each sample's
+byte range; `build_minimal_mp4` constructs a tiny deterministic
+metadata-only skeleton for tests and datagen.
 
-Frame PIXELS stay honestly out of scope: sample data in `mdat` is
-codec-encoded (avc1/hevc), and decoding it requires the very libraries
-this container lacks.  The operators in operators/multimodal.py surface
-everything up to that boundary.
+Frame PIXELS: `build_mjpeg_mp4` writes a real MJPEG track (every sample an
+independent baseline JPEG, stsd fourcc 'jpeg'), which the repo's pure-numpy
+JPEG codec (customer_er_spark.jpeg) decodes back to pixels — so
+operators/multimodal.frame_pixels is a REAL video->pixels path with no
+external codec libraries.  Inter-frame codecs (avc1/hevc) remain honestly
+out of scope: decoding them needs the libraries this container lacks, and
+frame_pixels marks such samples ok=false instead of crashing.
 """
 
 from __future__ import annotations
@@ -65,6 +74,11 @@ class Mp4Track:
     duration: int = 0
     stts: list[tuple[int, int]] = field(default_factory=list)
     stss: list[int] | None = None  # None => every sample is sync
+    codec: str = ""  # stsd entry fourcc ("jpeg", "avc1", ...)
+    stsz: list[int] = field(default_factory=list)  # per-sample byte sizes
+    stsc: list[tuple[int, int, int]] = field(default_factory=list)
+    #      (first_chunk, samples_per_chunk, desc_idx), 1-based per spec
+    stco: list[int] = field(default_factory=list)  # absolute chunk offsets
 
     @property
     def n_samples(self) -> int:
@@ -170,6 +184,66 @@ def _parse_stbl(data: bytes, start: int, end: int, tr: Mp4Track) -> None:
             tr.stss = [
                 struct.unpack_from(">I", data, p0 + 4 + 4 * i)[0] for i in range(n)
             ]
+        elif btype == b"stsd":
+            # first sample description's fourcc identifies the codec
+            _, p0 = _fullbox(data, p)
+            n = struct.unpack_from(">I", data, p0)[0]
+            if n >= 1:
+                tr.codec = data[p0 + 8 : p0 + 12].decode("ascii", "replace")
+        elif btype == b"stsz":
+            _, p0 = _fullbox(data, p)
+            uniform, n = struct.unpack_from(">II", data, p0)
+            tr.stsz = (
+                [uniform] * n
+                if uniform
+                else [
+                    struct.unpack_from(">I", data, p0 + 8 + 4 * i)[0]
+                    for i in range(n)
+                ]
+            )
+        elif btype == b"stsc":
+            _, p0 = _fullbox(data, p)
+            n = struct.unpack_from(">I", data, p0)[0]
+            tr.stsc = [
+                struct.unpack_from(">III", data, p0 + 4 + 12 * i)
+                for i in range(n)
+            ]
+        elif btype == b"stco":
+            _, p0 = _fullbox(data, p)
+            n = struct.unpack_from(">I", data, p0)[0]
+            tr.stco = [
+                struct.unpack_from(">I", data, p0 + 4 + 4 * i)[0]
+                for i in range(n)
+            ]
+
+
+def sample_ranges(tr: Mp4Track) -> list[tuple[int, int]]:
+    """Per-sample (absolute_offset, size) byte ranges from stsz+stsc+stco
+    — the full chunk walk of ISO 14496-12 §8.7: for each chunk (stco
+    offset), the stsc run in force gives its sample count; samples within
+    a chunk are contiguous.  Returns [] when the table triple is absent or
+    inconsistent (metadata-only skeletons), never raises."""
+    if not (tr.stsz and tr.stsc and tr.stco):
+        return []
+    out: list[tuple[int, int]] = []
+    n_chunks = len(tr.stco)
+    si = 0
+    for ci in range(n_chunks):
+        # samples_per_chunk of the stsc entry in force for chunk ci+1
+        spc = 0
+        for first, count, _desc in tr.stsc:
+            if first <= ci + 1:
+                spc = count
+            else:
+                break
+        off = tr.stco[ci]
+        for _ in range(spc):
+            if si >= len(tr.stsz):
+                return out
+            out.append((off, tr.stsz[si]))
+            off += tr.stsz[si]
+            si += 1
+    return out
 
 
 def sample_table(tr: Mp4Track) -> list[tuple[int, float, bool]]:
@@ -248,3 +322,111 @@ def build_minimal_mp4(
     moov = _box(b"moov", mvhd + trak)
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
     return ftyp + moov + _box(b"mdat", b"")
+
+
+def _visual_sample_entry(fourcc: bytes, width: int, height: int) -> bytes:
+    """ISO 14496-12 §12.1.3 VisualSampleEntry (the stsd child)."""
+    body = (
+        b"\x00" * 6 + struct.pack(">H", 1)          # SampleEntry: dref idx
+        + struct.pack(">HH", 0, 0) + b"\x00" * 12   # pre_defined/reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi, 16.16
+        + struct.pack(">I", 0)                        # reserved
+        + struct.pack(">H", 1)                        # frame_count
+        + b"\x00" * 32                                # compressorname
+        + struct.pack(">Hh", 24, -1)                  # depth, pre_defined
+    )
+    return _box(fourcc, body)
+
+
+def build_mjpeg_mp4(
+    frames: list,
+    fps: int = 30,
+    keyframe_every: int = 10,
+    quality: int = 92,
+    track_id: int = 1,
+) -> bytes:
+    """MJPEG-in-MP4: a REAL pixel path with zero external codecs — every
+    video sample in `mdat` is an independent baseline JPEG (stsd fourcc
+    'jpeg', the Motion-JPEG-in-BMFF convention), encoded by the repo's own
+    pure-numpy encoder (customer_er_spark.jpeg), so frame_pixels can
+    decode sampled frames back to pixels and the PSNR>=40dB invariant of
+    BASELINE.json applies to video exactly as it does to still images.
+
+    `frames`: list of HxWx3 uint8 arrays (all the same shape).  Layout is
+    the single-chunk contiguous form: stsc = one run covering all samples,
+    stco = one offset (the mdat payload start, patched after the moov size
+    is known), stsz = per-sample JPEG byte sizes."""
+    import numpy as np
+
+    from customer_er_spark.jpeg import jpeg_encode
+
+    if not frames:
+        raise ValueError("build_mjpeg_mp4 requires at least one frame")
+    h, w = np.asarray(frames[0]).shape[:2]
+    payloads = [jpeg_encode(np.asarray(f), quality=quality) for f in frames]
+    n_frames = len(payloads)
+    timescale = fps * 100
+    delta = 100
+    duration = n_frames * delta
+
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">BxxxIIII", 0, 0, 0, timescale, duration)
+        + struct.pack(">hhi", 0x0100, 0, 0)
+        + b"\x00" * 8
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", track_id + 1),
+    )
+    tkhd = _box(
+        b"tkhd",
+        struct.pack(">BxxxIIIxxxxI", 0, 0, 0, track_id, duration)
+        + b"\x00" * 8
+        + struct.pack(">hhhxx", 0, 0, 0)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    mdhd = _box(
+        b"mdhd",
+        struct.pack(">BxxxIIII", 0, 0, 0, timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    stsd = _box(
+        b"stsd",
+        struct.pack(">BxxxI", 0, 1) + _visual_sample_entry(b"jpeg", w, h),
+    )
+    stts = _box(
+        b"stts", struct.pack(">BxxxI", 0, 1) + struct.pack(">II", n_frames, delta)
+    )
+    keyframes = list(range(1, n_frames + 1, keyframe_every))
+    stss = _box(
+        b"stss",
+        struct.pack(">BxxxI", 0, len(keyframes))
+        + b"".join(struct.pack(">I", k) for k in keyframes),
+    )
+    stsc = _box(
+        b"stsc", struct.pack(">BxxxI", 0, 1) + struct.pack(">III", 1, n_frames, 1)
+    )
+    stsz = _box(
+        b"stsz",
+        struct.pack(">BxxxII", 0, 0, n_frames)
+        + b"".join(struct.pack(">I", len(p)) for p in payloads),
+    )
+
+    def _assemble(mdat_off: int) -> bytes:
+        stco = _box(b"stco", struct.pack(">BxxxI", 0, 1) + struct.pack(">I", mdat_off))
+        stbl = _box(b"stbl", stsd + stts + stss + stsc + stsz + stco)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", mdhd + minf)
+        trak = _box(b"trak", tkhd + mdia)
+        moov = _box(b"moov", mvhd + trak)
+        ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+        return ftyp + moov + _box(b"mdat", b"".join(payloads))
+
+    # stco points into mdat, whose position depends on moov's size; a
+    # fixed-width u32 offset keeps the size stable, so one re-assembly
+    # with the measured offset converges
+    probe = _assemble(0)
+    header_len = len(probe) - (8 + sum(len(p) for p in payloads))
+    return _assemble(header_len + 8)

@@ -129,6 +129,31 @@ def with_band_bucket(bands: DataFrame, cfg: ERConfig) -> DataFrame:
     )
 
 
+def band_sorted(bands_with_bucket: DataFrame, cfg: ERConfig) -> DataFrame:
+    """Physical ordering for the committed priors_bands table: partitioned
+    on band_bucket, sorted by (band_bucket, band_key) within partitions —
+    combined with a maxRecordsPerFile write option (band_write_options),
+    each data file covers a narrow contiguous band_key range, so the
+    per-file key range + bloom recorded at commit time discriminate and
+    the incremental link's driver-side scan pruning actually fires
+    (Iceberg analog: bucket(K, band_key) partitioning + sorted write order
+    + parquet column stats)."""
+    return bands_with_bucket.repartition(
+        cfg.shuffle_partitions, "band_bucket"
+    ).sortWithinPartitions("band_bucket", "band_key")
+
+
+def band_write_options(cfg: ERConfig, n_records: int) -> dict:
+    """maxRecordsPerFile for a priors_bands commit of `n_records` signature
+    rows: target cfg.band_file_rows rows per file, capped at
+    cfg.band_max_files files for the snapshot (bulk snapshots get bigger
+    files — at huge registries the per-file metadata, commit walk, and
+    task count would otherwise grow without bound)."""
+    rows = bands_per_record(cfg) * max(0, n_records)
+    mrf = max(cfg.band_file_rows, -(-rows // cfg.band_max_files))
+    return {"maxRecordsPerFile": str(mrf)}
+
+
 def salted_buckets(bands: DataFrame, cfg: ERConfig) -> tuple[DataFrame, DataFrame]:
     """(image_id, band_key)[, extra cols] -> (salted, band_stats).
 

@@ -118,6 +118,18 @@ def connected_components(
     )
     start_round = 0
     lineage = inputs or {}
+    # round 0 is NOT materialized (r6 verdict #2: it was a whole catalog
+    # write of pure fixed cost): the first star round consumes the lazy
+    # derivation directly — the doubled reference inside _large_star
+    # resolves to one computation via Spark's ReusedExchange on the
+    # identical distinct subplan — and the first MATERIALIZED round's own
+    # observed signature seeds the convergence test (sig=None below means
+    # "no materialized round yet", so the loop always runs >= 2 rounds,
+    # exactly as many actions as the old init+rounds shape needed on an
+    # already-converged graph and one fewer on every other graph).
+    # Durability is unchanged in kind: a crash before the first checkpoint
+    # write replays at most checkpoint_every rounds, the same bound as
+    # between any two checkpoints.
     sig = None
     if catalog is not None:
         meta = catalog.table_meta(checkpoint_table)
@@ -125,18 +137,6 @@ def connected_components(
             edges = catalog.read_table(checkpoint_table)  # resume mid-fixpoint
             start_round = meta["cc_round"]
             sig = _sig_job(edges)
-        else:
-            obs_e, obs = _observed(edges)
-            catalog.write_table(
-                obs_e, checkpoint_table, inputs=lineage,
-                extra_meta={"cc_round": 0},
-            )
-            edges = catalog.read_table(checkpoint_table)
-            sig = (obs.get["n"], obs.get["x"])
-    else:
-        obs_e, obs = _observed(edges)
-        edges = obs_e.localCheckpoint(eager=True)
-        sig = (obs.get["n"], obs.get["x"])
 
     for it in range(start_round, max_iterations):
         obs_e, obs = _observed(_small_star(_large_star(edges)))

@@ -18,11 +18,13 @@ Ours, made concrete and cheaper:
     the registry (the reference recomputes Zingg blocking over the full
     priors table every time);
   * the registry-sided I/O is pruned too: priors_bands is hash-bucket
-    partitioned on pmod(band_key, cfg.band_buckets) with per-file
-    band_key blooms in the manifest (catalog.write_table bloom_col), and
-    run_link restricts the scan DRIVER-SIDE to the increment's touched
-    buckets and bloom-colliding files — the manifest-level pruning
-    Iceberg does with bucket partitioning + parquet blooms.  Band keys
+    partitioned on pmod(band_key, cfg.band_buckets), written key-sorted
+    in ~band_file_rows-row files, each carrying a key range in the
+    manifest and a bloom in the snapshot's _blooms.json sidecar
+    (catalog.write_table bloom_col); run_link restricts the scan
+    DRIVER-SIDE to the increment's touched buckets, in-range files and
+    bloom-colliding files — the manifest-level pruning Iceberg does with
+    bucket partitioning + puffin/parquet blooms.  Band keys
     are 64-bit hashes, so an append file only survives the bloom when it
     holds a REAL band collision with the increment: per-increment bytes
     read ≈ touched buckets of the initial snapshot + O(actual candidate
@@ -66,6 +68,8 @@ from customer_er_spark.catalog import SparkCatalog
 from customer_er_spark.config import ERConfig
 from customer_er_spark.operators.candidates import (
     band_keys,
+    band_sorted,
+    band_write_options,
     bands_per_record,
     candidate_pairs,
     with_band_bucket,
@@ -157,7 +161,14 @@ def link_pairs(
     return pairs, band_stats
 
 
-def _link_summary(catalog: SparkCatalog, resumed: bool) -> dict:
+def _scan_state_key(run_key: str | None, inc_snapshot: str) -> str:
+    """State slot for one link run's registry-scan stats — keyed by the
+    batch identity (run_key, else the incoming snapshot) so interleaved or
+    resumed links never read another batch's scan record."""
+    return f"link_registry_scan::{run_key or inc_snapshot}"
+
+
+def _link_summary(catalog: SparkCatalog, resumed: bool, scan_key: str) -> dict:
     return {
         "resumed": resumed,
         "candidates": catalog.table_meta("link_candidates")["counts"]["rows_out"],
@@ -167,9 +178,12 @@ def _link_summary(catalog: SparkCatalog, resumed: bool) -> dict:
             for r in catalog.read_table("link_decisions")  # committed parquet,
             .groupBy("decision").count().collect()          # not the live plan
         },
-        # files/bytes of priors_bands the pruned link scan actually opened
-        # (None on the legacy full-scan fallback) — recorded by run_link
-        "registry_scan": catalog.get_state("link_registry_scan"),
+        # files/bytes of priors_bands THIS run's pruned link scan opened;
+        # carries a "mode" field: "pruned" (manifest file skipping fired),
+        # "legacy-full-scan" (pre-upgrade manifest without file entries),
+        # or "iceberg-delegated" (pruning happens inside Iceberg's own
+        # planner — bucket partitions + parquet stats — not driver-side)
+        "registry_scan": catalog.get_state(scan_key),
     }
 
 
@@ -235,7 +249,10 @@ def _pruned_priors_bands(
                        increment emits a band key with pmod(key, K) = B —
                        lossless, the link join is an inner join on exact
                        band_key;
-      bloom prune      a file whose manifest bloom provably contains none
+      range prune      probe keys outside a file's recorded [kmin, kmax]
+                       are dropped before its bloom is consulted (files
+                       are written key-sorted, so ranges are narrow);
+      bloom prune      a file whose sidecar bloom provably contains none
                        of the increment's band keys is skipped — lossless
                        up to bloom false POSITIVES, which only ever keep
                        extra files.
@@ -246,20 +263,31 @@ def _pruned_priors_bands(
     actually fire (probing all keys against every file would survive
     almost surely once the increment carries a few thousand keys).
 
-    Returns (df, stats); stats is None when the manifest predates file
-    pruning (no absolute file entries) and the full scan is used."""
-    meta = catalog.table_meta("priors_bands")
-    entries = meta.get("data_files") or []
+    Returns (df, stats); stats always carries a "mode" field:
+    "pruned" when manifest file skipping fired, "legacy-full-scan" when
+    the parquet manifest predates file pruning (no file entries), and
+    "iceberg-delegated" when the backend is Iceberg without per-file
+    manifest entries — there the same layout (bucket partitions + parquet
+    blooms/stats) is pruned by Iceberg's own planner, not driver-side."""
+    files_fn = getattr(catalog, "table_files", None)
+    entries = (files_fn("priors_bands") if files_fn is not None else None) or []
     if not entries or any("file" not in e for e in entries):
-        return catalog.read_table("priors_bands"), None
+        mode = (
+            "iceberg-delegated"
+            if getattr(catalog, "backend", "parquet") == "iceberg"
+            else "legacy-full-scan"
+        )
+        return catalog.read_table("priors_bands"), {"mode": mode}
     by_bucket: dict | None = None
     h_all = None
+    all_idx = None
     if keys is not None and len(keys):
         import numpy as np
 
         from customer_er_spark.functions import bloom as bloom_mod
 
         h_all = bloom_mod.hash_keys(keys)
+        all_idx = np.arange(len(keys))
         kb = keys % cfg.band_buckets
         by_bucket = {
             int(b): np.nonzero(kb == b)[0] for b in np.unique(kb)
@@ -269,21 +297,29 @@ def _pruned_priors_bands(
         b = _bucket_from_path(e["file"])
         if b is not None and b not in buckets:
             continue
-        bl = e.get("bloom")
-        if bl is not None and h_all is not None:
+        if h_all is not None:
             if b is not None and by_bucket is not None:
                 idx = by_bucket.get(b)
                 if idx is None or not len(idx):
                     continue  # no increment key maps to this bucket
-                h1, h2 = h_all[0][idx], h_all[1][idx]
             else:  # un-bucketed file: probe with every key
-                h1, h2 = h_all
-            from customer_er_spark.functions import bloom as bloom_mod
-
-            if not bloom_mod.might_contain_any(bl, h1, h2):
+                idx = all_idx
+            # key-range prune first (files are written key-sorted, so the
+            # range is narrow): probe keys outside [kmin, kmax] cannot be
+            # in the file — drop them before the bloom is even consulted
+            if "kmin" in e:
+                sub = keys[idx]
+                idx = idx[(sub >= e["kmin"]) & (sub <= e["kmax"])]
+                if not len(idx):
+                    continue
+            bl = catalog.file_bloom(e)
+            if bl is not None and not bloom_mod.might_contain_any(
+                bl, h_all[0][idx], h_all[1][idx]
+            ):
                 continue
         chosen.append(e)
     stats = {
+        "mode": "pruned",
         "files_total": len(entries),
         "files_read": len(chosen),
         "bytes_total": sum(e.get("bytes", 0) for e in entries),
@@ -294,7 +330,7 @@ def _pruned_priors_bands(
         df = spark.createDataFrame([], _PB_SCHEMA)
     else:
         df = spark.read.schema(_PB_SCHEMA).parquet(
-            *[e["file"] for e in chosen]
+            *[catalog.resolve_file(e) for e in chosen]
         )
     return df, stats
 
@@ -334,7 +370,10 @@ def run_link(
             and dec.get("inputs", {}).get("incoming_signatures")
             == meta.get("snapshot_id")
         ):
-            return _link_summary(catalog, resumed=True)
+            return _link_summary(
+                catalog, resumed=True,
+                scan_key=_scan_state_key(run_key, meta.get("snapshot_id") or ""),
+            )
 
     priors_sig = catalog.read_table("signatures")
     # the committed registry band table (written by run_initial, appended
@@ -363,9 +402,7 @@ def run_link(
         )
     ):
         catalog.write_table(
-            with_band_bucket(band_keys(priors_sig, cfg), cfg).repartition(
-                cfg.shuffle_partitions, "band_bucket"
-            ),
+            band_sorted(with_band_bucket(band_keys(priors_sig, cfg), cfg), cfg),
             "priors_bands",
             config_hash=ch,
             inputs={"signatures": catalog.snapshot_id("signatures") or ""},
@@ -373,6 +410,9 @@ def run_link(
             partition_by=["band_bucket"],
             bloom_col="band_key",
             bloom_max_rows=cfg.bloom_max_keys,
+            write_options=band_write_options(
+                cfg, (sig_meta or {}).get("counts", {}).get("rows_out", 0)
+            ),
         )
 
     inc_sig = compute_signatures(incoming, cfg)
@@ -394,17 +434,25 @@ def run_link(
     priors_bands, scan_stats = _pruned_priors_bands(
         spark, catalog, cfg, touched_buckets, inc_keys_arr
     )
-    catalog.set_state("link_registry_scan", scan_stats)
+    scan_key = _scan_state_key(run_key, link_inputs["incoming_signatures"])
+    catalog.set_state(scan_key, scan_stats)
 
     # checkpoint candidates through the catalog: the bipartite band join
     # executes exactly once (the write action); verify reads the committed
     # parquet and the summary count comes free from the manifest.
     raw_pairs, link_band_stats = link_pairs(priors_bands, inc_sig, cfg)
+    # overwrite_schema=True on every link output below: these tables are
+    # pipeline-OWNED intermediates (never user-evolved), so an engine
+    # upgrade that adds a column (e.g. the r6 'hamming' ride-along) must
+    # roll forward over a catalog written by the previous version instead
+    # of failing the schema contract (r6 advice).
     catalog.write_table(
-        link_band_stats, "link_band_stats", config_hash=ch, inputs=link_inputs
+        link_band_stats, "link_band_stats", config_hash=ch,
+        inputs=link_inputs, overwrite_schema=True,
     )
     catalog.write_table(
-        raw_pairs, "link_candidates", config_hash=ch, inputs=link_inputs
+        raw_pairs, "link_candidates", config_hash=ch, inputs=link_inputs,
+        overwrite_schema=True,
     )
     pairs = catalog.read_table("link_candidates")
 
@@ -430,7 +478,10 @@ def run_link(
     link_edges = scored.join(
         members.withColumnRenamed("image_id", "id_l"), "id_l"
     ).select(*VERIFY_COLS, "cluster_id")
-    catalog.write_table(link_edges, "link_edges", config_hash=ch, inputs=link_inputs)
+    catalog.write_table(
+        link_edges, "link_edges", config_hash=ch, inputs=link_inputs,
+        overwrite_schema=True,
+    )
     linked_raw = catalog.read_table("link_edges")
     # verify's scratch snapshots are superseded by the committed link_edges
     catalog.drop_table(f"{scr_lverify}_hamming")
@@ -455,7 +506,10 @@ def run_link(
         F.lit("incoming").alias("z_source"),
     )
     linked = prior_rows.unionByName(incoming_rows)
-    catalog.write_table(linked, "linked", config_hash=ch, inputs=link_inputs)
+    catalog.write_table(
+        linked, "linked", config_hash=ch, inputs=link_inputs,
+        overwrite_schema=True,
+    )
 
     # decision rules (03:283-288 made executable): per incoming record rank
     # candidate clusters by best score; accept a clear single winner at/above
@@ -494,7 +548,8 @@ def run_link(
         )
     )
     catalog.write_table(
-        decisions, "link_decisions", config_hash=ch, inputs=link_inputs
+        decisions, "link_decisions", config_hash=ch, inputs=link_inputs,
+        overwrite_schema=True,
     )
 
     # human-in-the-loop artifact (03:283-288 surfaces review candidates to
@@ -534,9 +589,10 @@ def run_link(
         )
     )
     catalog.write_table(
-        link_review, "link_review", config_hash=ch, inputs=link_inputs
+        link_review, "link_review", config_hash=ch, inputs=link_inputs,
+        overwrite_schema=True,
     )
-    return _link_summary(catalog, resumed=False)
+    return _link_summary(catalog, resumed=False, scan_key=scan_key)
 
 
 def run_incremental_match(
@@ -697,13 +753,15 @@ def run_incremental_match(
     # per-file band_key blooms — the knob that makes LATER increments skip
     # this increment's files unless they actually band-collide with it.
     append_once(
-        lambda: with_band_bucket(band_keys(inc_sig, cfg), cfg).repartition(
-            cfg.shuffle_partitions, "band_bucket"
-        ),
+        lambda: band_sorted(with_band_bucket(band_keys(inc_sig, cfg), cfg), cfg),
         "priors_bands",
         partition_by=["band_bucket"],
         bloom_col="band_key",
         bloom_max_rows=cfg.bloom_max_keys,
+        write_options=band_write_options(
+            cfg,
+            catalog.table_meta("incoming_signatures")["counts"]["rows_out"],
+        ),
     )
 
     # clusters is a small aggregate over members — recomputed, not appended
@@ -807,9 +865,10 @@ def refresh_member_scores(
     """
     cfg = cfg or ERConfig()
     vp_meta = catalog.table_meta("verified_pairs")
-    all_paths = list(
-        vp_meta.get("paths")
-        or ([vp_meta["path"]] if vp_meta.get("path") else [])
+    all_paths = (
+        catalog._paths(vp_meta)  # resolved vs the CURRENT base dir
+        if vp_meta and (vp_meta.get("paths") or vp_meta.get("path"))
+        else []  # backend without a file manifest (IcebergCatalog shape)
     )
     if not all_paths and not compact:
         compact = True  # no file-path manifest -> ground-truth recompute

@@ -32,6 +32,8 @@ from customer_er_spark.catalog import SparkCatalog
 from customer_er_spark.config import ERConfig
 from customer_er_spark.operators.candidates import (
     band_keys,
+    band_sorted,
+    band_write_options,
     candidate_pairs_from_bands,
     with_band_bucket,
 )
@@ -97,13 +99,12 @@ def run_initial(
     # registry scan to touched buckets / colliding files driver-side.
     bands = stage(
         "priors_bands", sig_snap,
-        lambda: with_band_bucket(band_keys(sig, cfg), cfg).repartition(
-            cfg.shuffle_partitions, "band_bucket"
-        ),
+        lambda: band_sorted(with_band_bucket(band_keys(sig, cfg), cfg), cfg),
         n_images,
         partition_by=["band_bucket"],
         bloom_col="band_key",
         bloom_max_rows=cfg.bloom_max_keys,
+        write_options=band_write_options(cfg, n_images),
     )
     bands_snap = {
         **sig_snap,
@@ -117,18 +118,37 @@ def run_initial(
             bands.select("band_key", "image_id", "phash"), cfg
         )
         catalog.write_table(band_stats, "band_stats", config_hash=ch,
-                            inputs=bands_snap)
+                            inputs=bands_snap, overwrite_schema=True)
         return pairs
 
-    cand = stage("candidate_pairs", bands_snap, build_pairs, n_images)
+    # overwrite_schema=True on the pipeline-owned intermediates: an engine
+    # upgrade that adds a column (r6: phash_l/phash_r on candidate_pairs)
+    # must roll forward over a catalog written by the previous version
+    # instead of failing the schema contract (r6 advice).  User-facing
+    # outputs (cluster_members, clusters) keep the strict contract.
+    cand = stage("candidate_pairs", bands_snap, build_pairs, n_images,
+                 overwrite_schema=True)
 
     cand_snap = {
         "signatures": catalog.snapshot_id("signatures") or "",
         "candidate_pairs": catalog.snapshot_id("candidate_pairs") or "",
     }
+    # the calibration aggregates ride the verified_pairs WRITE as observed
+    # metrics — the report below then commits driver-side with zero extra
+    # Spark jobs (r6 verdict #2: the separate read-back+groupBy+write job
+    # was pure fixed cost in the pipeline tail)
+    from customer_er_spark.operators.calibrate import (
+        calibration_observation,
+        calibration_rows,
+        calibration_schema,
+    )
+
+    cal_obs, cal_aggs = calibration_observation()
     verified = stage(
         "verified_pairs", cand_snap,
-        lambda: verify_pairs(cand, sig, cfg), summary_rows(summary, "candidate_pairs"),
+        lambda: verify_pairs(cand, sig, cfg).observe(cal_obs, *cal_aggs),
+        summary_rows(summary, "candidate_pairs"),
+        overwrite_schema=True,
     )
 
     matches = verified.where("is_match")
@@ -136,13 +156,42 @@ def run_initial(
 
     # B1 parity (threshold calibration, the deterministic stand-in for the
     # reference's findTrainingData labeling loop, 02A:236-285)
-    from customer_er_spark.operators.calibrate import calibration_report_scores
+    t0 = time.time()
+    if catalog.has_snapshot("calibration_report", ch, ver_snap):
+        summary["calibration_report"] = {
+            "resumed": True,
+            **catalog.table_meta("calibration_report")["counts"],
+        }
+    else:
+        if summary["verified_pairs"].get("resumed"):
+            # resumed verified stage ran no write action, so the
+            # observation never fired — one small groupBy job instead
+            from customer_er_spark.operators.calibrate import (
+                calibration_report_scores,
+            )
 
-    stage(
-        "calibration_report", ver_snap,
-        lambda: calibration_report_scores(verified),
-        summary_rows(summary, "verified_pairs"),
-    )
+            rows = [
+                r.asDict()
+                for r in calibration_report_scores(verified)
+                .orderBy("stratum")
+                .collect()
+            ]
+        else:
+            rows = calibration_rows(cal_obs.get)
+        manifest = catalog.write_table_local(
+            rows, "calibration_report", config_hash=ch, inputs=ver_snap,
+            schema=calibration_schema(),
+        )
+        metrics.record(
+            "calibration_report", summary_rows(summary, "verified_pairs"),
+            manifest["counts"]["rows_out"], time.time() - t0, ch, ver_snap,
+            manifest["snapshot_id"],
+        )
+        summary["calibration_report"] = {
+            "resumed": False,
+            "rows_out": manifest["counts"]["rows_out"],
+            "wall_sec": round(time.time() - t0, 2),
+        }
 
     assignments = stage(
         "assignments", ver_snap,

@@ -294,3 +294,103 @@ def test_mp4_version1_boxes():
     st = sample_table(tr)
     assert len(st) == n and all(sync for _, _, sync in st)
     assert st[-1][1] == pytest.approx((n - 1) * (dur // n) / ts)
+
+
+def _planted_frames(n=12, w=64, h=48, seed=7):
+    """JPEG-friendly deterministic frames: smooth per-frame gradients (the
+    content class where a quality-92 baseline JPEG clears PSNR >= 40dB)."""
+    rng = np.random.default_rng(seed)
+    frames = []
+    yy, xx = np.mgrid[0:h, 0:w]
+    for i in range(n):
+        base = np.stack(
+            [
+                (xx * 255 / (w - 1) + i * 9) % 256,
+                (yy * 255 / (h - 1) + i * 5) % 256,
+                ((xx + yy) * 255 / (w + h - 2) + i * 3) % 256,
+            ],
+            axis=-1,
+        )
+        frames.append(
+            np.clip(base + rng.normal(0, 2, base.shape), 0, 255).astype(np.uint8)
+        )
+    return frames
+
+
+def test_mjpeg_mp4_pixel_roundtrip():
+    """r6 verdict #6: a synthesized MJPEG-in-MP4 decodes back to the
+    planted pixels through the container's OWN sample tables (stsd fourcc,
+    stsz/stsc/stco byte ranges) at PSNR >= 40dB per frame — the
+    BASELINE.json lossy-decode invariant applied to video."""
+    from customer_er_spark.codecs import psnr
+    from customer_er_spark.jpeg import jpeg_decode
+    from customer_er_spark.mp4 import (
+        build_mjpeg_mp4,
+        parse_mp4,
+        sample_ranges,
+        sample_table,
+    )
+
+    frames = _planted_frames()
+    data = build_mjpeg_mp4(frames, fps=30, keyframe_every=5, quality=92)
+    m = parse_mp4(data)
+    (tr,) = m.tracks
+    assert tr.codec == "jpeg"
+    assert tr.n_samples == len(frames)
+    ranges = sample_ranges(tr)
+    assert len(ranges) == len(frames)
+    st = sample_table(tr)
+    assert [i for i, _, s in st if s] == list(range(0, len(frames), 5))
+    for i, (off, size) in enumerate(ranges):
+        img = jpeg_decode(data[off : off + size])
+        assert img.shape == frames[i].shape
+        p = psnr(frames[i], img)
+        assert p >= 40.0, (i, p)
+
+
+def test_frame_pixels_operator(spark):
+    """frame_pixels: sampled frames come back as raw RGB with true
+    timestamps; per-sample corruption yields ok=false for that row only;
+    non-MP4 bytes and metadata-only skeletons yield zero rows."""
+    from customer_er_spark.mp4 import (
+        build_minimal_mp4,
+        build_mjpeg_mp4,
+        parse_mp4,
+        sample_ranges,
+    )
+    from customer_er_spark.operators.multimodal import frame_pixels
+
+    frames = _planted_frames(n=10)
+    good = build_mjpeg_mp4(frames, fps=30, keyframe_every=5)
+    # corrupt exactly sample 0's payload in a second copy
+    m = parse_mp4(good)
+    off, size = sample_ranges(m.tracks[0])[0]
+    bad_sample = bytearray(good)
+    bad_sample[off + 2 : off + size] = b"\x00" * (size - 2)
+    vids = spark.createDataFrame(
+        [
+            ("ok", bytearray(good)),
+            ("poison", bytearray(b"not an mp4 at all")),
+            ("skeleton", bytearray(build_minimal_mp4(n_frames=9))),
+            ("halfbad", bad_sample),
+        ],
+        "video_id string, bytes binary",
+    )
+    out = frame_pixels(vids, every_n=5).collect()
+    by_vid = {}
+    for r in out:
+        by_vid.setdefault(r["video_id"], []).append(r)
+    assert "poison" not in by_vid and "skeleton" not in by_vid
+    oks = sorted(by_vid["ok"], key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in oks] == [0, 5]
+    assert all(r["ok"] for r in oks)
+    img0 = np.frombuffer(oks[0]["pixels"], np.uint8).reshape(
+        oks[0]["h"], oks[0]["w"], 3
+    )
+    from customer_er_spark.codecs import psnr
+
+    assert psnr(frames[0], img0) >= 40.0
+    assert oks[1]["t_seconds"] == pytest.approx(5 / 30)
+    hb = sorted(by_vid["halfbad"], key=lambda r: r["frame_idx"])
+    assert [(r["frame_idx"], r["ok"]) for r in hb] == [(0, False), (5, True)]
+    assert hb[0]["pixels"] is None

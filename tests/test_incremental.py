@@ -1,6 +1,8 @@
 """Incremental link + match: end-to-end over the datagen 4/5 - 1/5 split
 (mirrors /root/reference/01_Prepare_Data.py:117-129)."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -162,11 +164,17 @@ def test_pruned_registry_scan(spark, small_corpus, tmp_path):
     )
     run_initial(spark, initial, catalog, CFG)
 
-    # layout contract: bucket partition dirs + per-file blooms in manifest
+    # layout contract: bucket partition dirs, per-file key ranges in the
+    # manifest, blooms in the snapshot's sidecar (r6 advice: manifests
+    # stay small; blooms live next to the data files)
     pb = catalog.table_meta("priors_bands")
     assert all("file" in e and "bytes" in e for e in pb["data_files"])
     assert all("band_bucket=" in e["file"] for e in pb["data_files"])
-    assert any("bloom" in e for e in pb["data_files"])
+    assert any(e.get("bloom_sidecar") for e in pb["data_files"])
+    assert any("kmin" in e and "kmax" in e for e in pb["data_files"])
+    assert all(not os.path.isabs(e["file"]) for e in pb["data_files"])
+    ex = next(e for e in pb["data_files"] if e.get("bloom_sidecar"))
+    assert catalog.file_bloom(ex) is not None
 
     # grow the registry by one merge so append files exist too
     run_link(spark, incoming, catalog, CFG, run_key="grow")
@@ -184,6 +192,7 @@ def test_pruned_registry_scan(spark, small_corpus, tmp_path):
     s = run_link(spark, micro, catalog, CFG, run_key="micro")
     scan = s["registry_scan"]
     assert scan is not None and scan["bloom_pruning"] is True
+    assert scan["mode"] == "pruned", scan
     assert scan["files_read"] < scan["files_total"] // 4, scan
     assert scan["bytes_read"] < scan["bytes_total"], scan
 
@@ -195,6 +204,88 @@ def test_pruned_registry_scan(spark, small_corpus, tmp_path):
     s2 = run_link(spark, dups, catalog, CFG, run_key="dups")
     assert s2["decisions"].get("accept", 0) == 3, s2
     assert s2["registry_scan"]["files_read"] >= 1
+
+    # leg 3: a MOVED catalog (r6 advice: manifests record paths relative
+    # to the base dir) — reads AND the pruned scan keep working from the
+    # new location
+    import shutil
+
+    from customer_er_spark.catalog import SparkCatalog as SC
+
+    moved_dir = str(tmp_path / "prune_cat_moved")
+    shutil.copytree(str(tmp_path / "prune_cat"), moved_dir)
+    shutil.rmtree(str(tmp_path / "prune_cat"))
+    moved = SC(spark, moved_dir)
+    assert moved.read_table("cluster_members").count() > 0
+    micro2 = micro.withColumn(
+        "image_id", F.concat(F.lit("m2_"), F.col("image_id"))
+    )
+    s3 = run_link(spark, micro2, moved, CFG, run_key="moved")
+    scan3 = s3["registry_scan"]
+    assert scan3["mode"] == "pruned", scan3
+    assert scan3["files_read"] < scan3["files_total"] // 4, scan3
+
+
+def test_scan_mode_and_keyed_state(spark, small_corpus, tmp_path):
+    """r6 advice/verdict #4: the registry-scan record (a) carries an
+    explicit mode instead of conflating legacy manifests with delegated
+    backends, and (b) is keyed by the link run, so a resumed run reports
+    ITS OWN scan, not whichever link executed last."""
+    import json
+
+    from customer_er_spark.catalog import SparkCatalog
+
+    catalog = SparkCatalog(spark, str(tmp_path / "mode_cat"))
+    initial = spark.read.parquet(f"{small_corpus['dir']}/images_initial.parquet")
+    incoming = spark.read.parquet(
+        f"{small_corpus['dir']}/images_incremental.parquet"
+    )
+    run_initial(spark, initial, catalog, CFG)
+
+    s = run_link(spark, incoming, catalog, CFG, run_key="a")
+    assert s["registry_scan"]["mode"] == "pruned"
+
+    # resumed replay must read run "a"'s slot even after another slot
+    # was written later (the old unkeyed slot would have been clobbered)
+    catalog.set_state("link_registry_scan::other", {"mode": "junk"})
+    s2 = run_link(spark, incoming, catalog, CFG, run_key="a")
+    assert s2["resumed"] is True
+    assert s2["registry_scan"] == s["registry_scan"]
+
+    # legacy manifest (pre-upgrade, no per-file entries) -> explicit
+    # legacy-full-scan mode, full scan still correct
+    mp = catalog._manifest_path("priors_bands")
+    with open(mp) as f:
+        meta = json.load(f)
+    meta.pop("data_files", None)
+    with open(mp, "w") as f:
+        json.dump(meta, f)
+    s3 = run_link(spark, incoming, catalog, CFG, run_key="b")
+    assert s3["registry_scan"] == {"mode": "legacy-full-scan"}, s3
+
+
+def test_link_schema_rollforward(spark, small_corpus, tmp_path):
+    """r6 advice (medium): link_candidates gained a 'hamming' column; a
+    catalog written by the previous engine version must roll forward (the
+    link tables are pipeline-owned), not raise the schema contract."""
+    from customer_er_spark.catalog import SparkCatalog
+
+    catalog = SparkCatalog(spark, str(tmp_path / "roll_cat"))
+    initial = spark.read.parquet(f"{small_corpus['dir']}/images_initial.parquet")
+    incoming = spark.read.parquet(
+        f"{small_corpus['dir']}/images_incremental.parquet"
+    )
+    run_initial(spark, initial, catalog, CFG)
+    # simulate the previous version's narrower link_candidates schema
+    old = spark.createDataFrame(
+        [("x", "y")], "id_l string, id_r string"
+    )
+    catalog.write_table(old, "link_candidates", config_hash="old")
+    s = run_link(spark, incoming, catalog, CFG, run_key="roll")
+    assert set(catalog.read_table("link_candidates").columns) == {
+        "id_l", "id_r", "hamming"
+    }
+    assert s["candidates"] > 0
 
 
 def test_link_rebands_on_lineage_divergence(spark, small_corpus, tmp_path):

@@ -104,9 +104,27 @@ def main() -> None:
     n_small = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     n_big = int(sys.argv[4]) if len(sys.argv) > 4 else 8
     assert n_big == 4 * n_small, "north rule compares N vs 4N"
+    # both host-weather probes (CPU kernel + 1 GiB I/O stream) gate every
+    # pooled run: a run only starts in a window both probes call quiet,
+    # and the closing probe values are recorded with the run so a
+    # weather-poisoned sample is identifiable in the pool afterwards
+    sys.path.insert(0, REPO)
+    import bench as bench_mod
+
     for cores in (n_small, n_big):
         for r in range(repeats):
+            plog: list[float] = []
+            iolog: list[float] = []
+            bench_mod.wait_for_quiet_window(plog, iolog)
             res = run_once(zpath, cdir, cores)
+            res["_probe_pre"] = [plog[-1], iolog[-1]]
+            res["_probe_post"] = [
+                round(bench_mod.host_probe(), 3),
+                round(bench_mod.io_probe(), 3),
+            ]
+            res["_probe_noisy"] = bench_mod.probes_noisy(
+                *res["_probe_post"], bench_mod.probe_quiet_ref()
+            )
             print(f"# local[{cores}] run {r}: {res}", file=sys.stderr)
             res["_rev"] = rev
             res["_n_images"] = n_images
