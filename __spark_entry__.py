@@ -3,7 +3,7 @@
 `entry(spark)` runs the flagship near-duplicate clustering over the
 sf0.001 documents table; `queries()` exposes one callable per implemented
 operator from SURVEY.md §2 (+ the training-data-pipeline operator family);
-`oracle_sql()` gives the DuckDB-equivalent SQL for EVERY query (26/26).
+`oracle_sql()` gives the DuckDB-equivalent SQL for EVERY query (36/36).
 The three hash-randomized kernels (MinHash LSH, md5 SimHash, hyperplane
 ANN) are checked through deterministic compositions: exact-verified output
 that provably equals a SQL-computable set (minhash, simhash) or an
@@ -590,6 +590,87 @@ def _videos_df(spark):
     return spark.createDataFrame(rows, "video_id string, bytes binary")
 
 
+# MJPEG pixel-decode oracle: solid-color frames, because a constant 8x8
+# block is DC-only under the DCT — the whole encode->decode chain then has
+# a CLOSED FORM (color matrix -> quantized DC -> inverse -> color matrix,
+# each step plain IEEE-double arithmetic) that DuckDB evaluates exactly.
+# Quality 92 scales both quant tables' [0][0] to 3 (pinned by pytest), and
+# every color in the schedule is verified tie-free (no intermediate lands
+# within 1e-6 of a rounding .5, where banker's vs half-away rounding could
+# split engines) — tests/test_codecs.py::test_solid_jpeg_closed_form.
+_N_PIXVIDS = 12
+_PIX_FRAMES = 10
+_PIX_EVERY = 5
+
+
+def _solid_color(k: int) -> tuple[int, int, int]:
+    return ((k * 37 + 11) % 256, (k * 83 + 5) % 256, (k * 53 + 29) % 256)
+
+
+def _pix_videos_df(spark):
+    import numpy as np
+
+    from customer_er_spark.mp4 import build_mjpeg_mp4
+
+    rows = []
+    for i in range(_N_PIXVIDS):
+        frames = [
+            np.full(
+                (16, 16, 3),
+                _solid_color(i * _PIX_FRAMES + j),
+                dtype=np.uint8,
+            )
+            for j in range(_PIX_FRAMES)
+        ]
+        rows.append(
+            (f"pv{i:02d}", bytearray(build_mjpeg_mp4(frames, fps=30,
+                                                     keyframe_every=5)))
+        )
+    return spark.createDataFrame(rows, "video_id string, bytes binary")
+
+
+def q_frame_pixels_solid(spark, sf):
+    """REAL video pixel decode, value-checked end to end: MJPEG-in-MP4
+    videos of solid-color frames go through the full container path
+    (stsd/stsz/stsc/stco sample ranges -> per-sample baseline JPEG decode
+    in operators/multimodal.frame_pixels), and the decoded frames are
+    folded to (uniform?, r, g, b).  The DuckDB oracle reproduces every
+    channel value from the closed-form DC-only chain — so CORRECTNESS
+    checks the decoder's actual pixel arithmetic, not just row counts."""
+    import numpy as np
+    import pandas as pd
+
+    from customer_er_spark.operators.multimodal import frame_pixels
+
+    px = frame_pixels(_pix_videos_df(spark), every_n=_PIX_EVERY)
+
+    def fold(batches):
+        for pdf in batches:
+            out = []
+            for vid, idx, t, ok, buf in zip(
+                pdf.video_id, pdf.frame_idx, pdf.t_seconds, pdf.ok,
+                pdf.pixels,
+            ):
+                a = np.frombuffer(buf, np.uint8).reshape(-1, 3)
+                u = np.unique(a, axis=0)
+                out.append(
+                    (vid, int(idx), float(t),
+                     bool(ok) and len(u) == 1,
+                     int(u[0][0]), int(u[0][1]), int(u[0][2]))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["video_id", "frame_idx", "t_seconds", "uniform",
+                         "r", "g", "b"],
+            )
+
+    return px.mapInPandas(
+        fold,
+        schema="video_id string, frame_idx long, t_seconds double, "
+               "uniform boolean, r int, g int, b int",
+    )
+
+
 def q_frame_sample(spark, sf):
     """Real MP4 frame sampling: parse the ISO-BMFF box tree, expand the
     stts time-to-sample table, flag stss keyframes, sample every 25th
@@ -781,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_units_overlap": q_numeric_units_overlap,
         "csv_scan": q_csv_scan,
         "census_counts": q_census_counts,
+        "frame_pixels_solid": q_frame_pixels_solid,
         "embedding_topk": q_embedding_topk,
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_topk_ivf": q_embedding_topk_ivf,
@@ -1082,6 +1164,47 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY value DESC, event_id ASC LIMIT 100
         """,
         "distinct_types": "SELECT DISTINCT event_type FROM events",
+        "frame_pixels_solid": f"""
+            -- closed-form decode of a DC-only (solid-color) baseline JPEG
+            -- at quality 92 (both quant tables' [0][0] scale to 3):
+            --   rgb -> ycbcr (JFIF matrix) -> v' = 3*round(8*(v-128)/3)/8+128
+            --   -> ycbcr -> rgb, final round+clip.  All literals e-notation
+            -- so DuckDB computes in DOUBLE (a bare 0.299 would be DECIMAL);
+            -- the color schedule is verified tie-free, so round() agrees
+            -- with numpy's banker's rounding on every value.
+            WITH f AS (
+              SELECT i, j, i*{_PIX_FRAMES}+j AS k
+              FROM generate_series(0, {_N_PIXVIDS - 1}) t(i),
+                   generate_series(0, {_PIX_FRAMES - 1}) u(j)
+              WHERE j % {_PIX_EVERY} = 0
+            ), c AS (
+              SELECT i, j,
+                     CAST((k*37+11)%256 AS DOUBLE) AS r0,
+                     CAST((k*83+5)%256 AS DOUBLE) AS g0,
+                     CAST((k*53+29)%256 AS DOUBLE) AS b0
+              FROM f
+            ), ycc AS (
+              SELECT i, j,
+                2.99e-1*r0 + 5.87e-1*g0 + 1.14e-1*b0 AS y,
+                -1.68736e-1*r0 - 3.31264e-1*g0 + 5e-1*b0 + 1.28e2 AS cb,
+                5e-1*r0 - 4.18688e-1*g0 - 8.1312e-2*b0 + 1.28e2 AS cr
+              FROM c
+            ), dq AS (
+              SELECT i, j,
+                3*round(8*(y-1.28e2)/3)/8 + 1.28e2 AS y2,
+                3*round(8*(cb-1.28e2)/3)/8 + 1.28e2 AS cb2,
+                3*round(8*(cr-1.28e2)/3)/8 + 1.28e2 AS cr2
+              FROM ycc
+            )
+            SELECT 'pv' || lpad(CAST(i AS VARCHAR), 2, '0') AS video_id,
+                   CAST(j AS BIGINT) AS frame_idx,
+                   (j*100)/3e3 AS t_seconds,
+                   TRUE AS uniform,
+                   CAST(least(greatest(round(y2 + 1.402e0*(cr2-1.28e2)), 0e0), 2.55e2) AS INT) AS r,
+                   CAST(least(greatest(round(y2 - 3.44136e-1*(cb2-1.28e2) - 7.14136e-1*(cr2-1.28e2)), 0e0), 2.55e2) AS INT) AS g,
+                   CAST(least(greatest(round(y2 + 1.772e0*(cb2-1.28e2)), 0e0), 2.55e2) AS INT) AS b
+            FROM dq
+        """,
         "census_counts": f"""
             SELECT md5({_NORM}) AS text_hash, count(*) AS n_copies,
                    min(doc_id) AS keep_id

@@ -138,14 +138,14 @@ class SparkCatalog:
         """Absolute path of one manifest data-file entry."""
         return self._abs(entry["file"])
 
-    def file_bloom(self, entry: dict) -> dict | None:
-        """Key bloom for one data-file entry: inline (legacy manifests) or
-        from the snapshot dir's `_blooms.json` sidecar (the poor-man's
-        Iceberg puffin file — blooms live next to the data files they
-        describe, written once per commit, never rewritten, so the
-        manifest itself stays small no matter how many appends
-        accumulate)."""
-        if "bloom" in entry:
+    def file_bloom(self, entry: dict, rg: int | None = None) -> dict | None:
+        """Key bloom for one data-file entry (rg=None) or one of its row
+        groups (rg=g): inline (legacy manifests) or from the snapshot
+        dir's `_blooms.json` sidecar (the poor-man's Iceberg puffin file
+        — blooms live next to the data files they describe, written once
+        per commit, never rewritten, so the manifest itself stays small
+        no matter how many appends accumulate)."""
+        if rg is None and "bloom" in entry:
             return entry["bloom"]
         if not entry.get("bloom_sidecar"):
             return None
@@ -159,7 +159,8 @@ class SparkCatalog:
         if spath not in cache:  # sidecars are immutable per snapshot dir
             with open(spath) as f:
                 cache[spath] = json.load(f)
-        return cache[spath].get(entry["path"])
+        key = entry["path"] if rg is None else f"{entry['path']}#rg{rg}"
+        return cache[spath].get(key)
 
     # -- IO -------------------------------------------------------------------
     def _commit(
@@ -207,13 +208,18 @@ class SparkCatalog:
         exactly what the committed files exist to avoid.
 
         When `bloom_col` names an int64 key column, every file with at
-        most `bloom_max_rows` rows also gets (a) a per-file bloom filter
-        over that column, written to the snapshot dir's `_blooms.json`
-        SIDECAR (the poor-man's Iceberg puffin file; the underscore name
-        makes Spark's scan ignore it), and (b) the column's min/max in
-        the manifest entry (`kmin`/`kmax`) — files are written sorted by
-        the key column, so the range alone prunes most probe keys before
-        the bloom is even consulted.  Larger files skip the bloom by
+        most `bloom_max_rows` rows also gets, PER PARQUET ROW GROUP:
+        (a) the column's min/max in the manifest entry's `row_groups`
+        list (free — parquet already stores column stats in the footer;
+        files are written key-sorted, so each row group covers a narrow
+        contiguous key range), and (b) a bloom filter over that row
+        group's keys, written to the snapshot dir's `_blooms.json`
+        SIDECAR keyed `<path>#rg<i>` (the poor-man's Iceberg puffin file;
+        the underscore name makes Spark's scan ignore it).  Row groups —
+        not files — are the skip granule: readers prune row groups
+        driver-side from these entries and push the matching key IN-set
+        into the parquet scan so executors skip the same row groups via
+        dictionary/stats pushdown.  Larger files skip the blooms by
         design: they belong to bulk snapshots where hash-bucket partition
         pruning is the effective lever.
 
@@ -229,32 +235,55 @@ class SparkCatalog:
                 if f.endswith(".parquet"):
                     files.append(os.path.join(root, f))
 
-        def one(full: str) -> tuple[dict, dict | None]:
+        def one(full: str) -> tuple[dict, dict]:
+            pf = pq.ParquetFile(full)
+            md = pf.metadata
             entry = {
                 "path": os.path.relpath(full, data_dir),
                 "file": os.path.relpath(full, rel_to) if rel_to else full,
-                "rows": pq.ParquetFile(full).metadata.num_rows,
+                "rows": md.num_rows,
                 "bytes": os.path.getsize(full),
             }
-            bl = None
+            blooms: dict = {}
             if bloom_col is not None and 0 < entry["rows"] <= bloom_max_rows:
                 from customer_er_spark.functions import bloom
 
-                keys = (
-                    pq.read_table(full, columns=[bloom_col])
-                    .column(0)
-                    .to_numpy()
+                ci = next(
+                    i
+                    for i in range(md.row_group(0).num_columns)
+                    if md.row_group(0).column(i).path_in_schema == bloom_col
                 )
+                keys = pf.read(columns=[bloom_col]).column(0).to_numpy()
                 entry["kmin"] = int(keys.min())
                 entry["kmax"] = int(keys.max())
                 entry["bloom_sidecar"] = True
-                bl = {"col": bloom_col, **bloom.build(keys)}
-            return entry, bl
+                rgs, off = [], 0
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    st = rg.column(ci).statistics
+                    rgs.append(
+                        {
+                            "rows": rg.num_rows,
+                            "bytes": sum(
+                                rg.column(j).total_compressed_size
+                                for j in range(rg.num_columns)
+                            ),
+                            "kmin": int(st.min),
+                            "kmax": int(st.max),
+                        }
+                    )
+                    blooms[f"{entry['path']}#rg{g}"] = {
+                        "col": bloom_col,
+                        **bloom.build(keys[off : off + rg.num_rows]),
+                    }
+                    off += rg.num_rows
+                entry["row_groups"] = rgs
+            return entry, blooms
 
         with ThreadPoolExecutor(min(16, max(1, len(files)))) as ex:
             results = list(ex.map(one, files))
         data_files = sorted((e for e, _ in results), key=lambda d: d["path"])
-        blooms = {e["path"]: b for e, b in results if b is not None}
+        blooms = {k: v for _, b in results for k, v in b.items()}
         if blooms:
             with open(os.path.join(data_dir, "_blooms.json"), "w") as f:
                 json.dump(blooms, f)

@@ -297,7 +297,7 @@ class IcebergCatalog:
     def resolve_file(self, entry: dict) -> str:
         return entry["file"]  # .files paths are absolute URIs
 
-    def file_bloom(self, entry: dict) -> dict | None:
+    def file_bloom(self, entry: dict, rg: int | None = None) -> dict | None:
         return None  # blooms are native parquet metadata on Iceberg
 
     # -- tiny state store ----------------------------------------------------

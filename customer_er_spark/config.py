@@ -147,17 +147,22 @@ class ERConfig:
     band_buckets: int = 64
     bloom_max_keys: int = 100_000
     prune_max_keys: int = 2_000_000
-    # file-granularity knobs: the writer targets `band_file_rows` rows per
-    # priors_bands data file (via maxRecordsPerFile over bucket-partitioned,
-    # key-sorted partitions) but never more than `band_max_files` files per
-    # bulk snapshot.  Small files are what make per-file blooms/key-ranges
-    # DISCRIMINATE: a real band collision keeps only the one small file
-    # holding it, instead of a whole bucket-sized file (r6 verdict #3 —
-    # measured: the one-file-per-bucket layout read 64/64 files at an 8k
-    # registry because ~600 real phash chunk collisions touch every large
-    # file; at ~200 rows/file the same increment reads ~25% of bytes).
-    band_file_rows: int = 200
-    band_max_files: int = 2_560
+    # granule knobs: the writer keeps ONE file per bucket per snapshot
+    # (many small files are a fork-storm on Hadoop's local FS — chmod is
+    # exec'd per created file — and a listing/scheduling tax on any FS)
+    # and instead sizes parquet ROW GROUPS as the skip granule: target
+    # `band_granule_rows` rows per row group, at most `band_max_granules`
+    # row groups per bulk snapshot.  Each row group gets a key range in
+    # the manifest (free from the footer) and a bloom in the snapshot
+    # sidecar, and the link reader pushes its band-key IN-set into the
+    # parquet scan, so executors skip non-surviving row groups via
+    # dictionary/stats pushdown — files stay few, skipping stays fine
+    # (r6 verdict #3 — measured: the one-granule-per-bucket layout read
+    # 64/64 files ≙ 100% of bytes at an 8k registry because ~600 real
+    # phash chunk collisions touch every large granule; at ~200-row
+    # granules the same increment reads ~15% of row-group bytes).
+    band_granule_rows: int = 200
+    band_max_granules: int = 2_560
 
     # --- structured-field scoring (FieldDef list; see MATCH_TYPES above) ----
     # when non-empty, score = (w_caption*caption_sim + w_image*image_sim

@@ -131,27 +131,43 @@ def with_band_bucket(bands: DataFrame, cfg: ERConfig) -> DataFrame:
 
 def band_sorted(bands_with_bucket: DataFrame, cfg: ERConfig) -> DataFrame:
     """Physical ordering for the committed priors_bands table: partitioned
-    on band_bucket, sorted by (band_bucket, band_key) within partitions —
-    combined with a maxRecordsPerFile write option (band_write_options),
-    each data file covers a narrow contiguous band_key range, so the
-    per-file key range + bloom recorded at commit time discriminate and
-    the incremental link's driver-side scan pruning actually fires
-    (Iceberg analog: bucket(K, band_key) partitioning + sorted write order
-    + parquet column stats)."""
+    on band_bucket (one data file per bucket per snapshot), sorted by
+    (band_bucket, band_key) within partitions — combined with the small
+    parquet row groups of band_write_options, each ROW GROUP covers a
+    narrow contiguous band_key range, so the per-row-group key range +
+    bloom recorded at commit time discriminate and the incremental link's
+    scan pruning fires at granule level (Iceberg analog: bucket(K,
+    band_key) partitioning + sorted write order + parquet column
+    stats/blooms)."""
     return bands_with_bucket.repartition(
         cfg.shuffle_partitions, "band_bucket"
     ).sortWithinPartitions("band_bucket", "band_key")
 
 
+# measured buffered bytes/row of the 3-column band schema in the parquet
+# writer (what parquet.block.size meters) — see BENCH/BASELINE.md r7
+_BAND_ROW_BYTES = 32
+
+
 def band_write_options(cfg: ERConfig, n_records: int) -> dict:
-    """maxRecordsPerFile for a priors_bands commit of `n_records` signature
-    rows: target cfg.band_file_rows rows per file, capped at
-    cfg.band_max_files files for the snapshot (bulk snapshots get bigger
-    files — at huge registries the per-file metadata, commit walk, and
-    task count would otherwise grow without bound)."""
+    """Parquet row-group sizing for a priors_bands commit of `n_records`
+    signature rows: target cfg.band_granule_rows rows per row group,
+    capped at cfg.band_max_granules row groups for the snapshot (bulk
+    snapshots get bigger granules — at huge registries the per-granule
+    manifest/sidecar metadata would otherwise grow without bound).  Row
+    groups, not files, are the skip unit: file count stays one per bucket
+    (local-FS file creation forks a chmod per file under Hadoop — a
+    measured 30-60s fork storm at ~1800 files — and every extra file is
+    listing/scheduling overhead on any FS)."""
     rows = bands_per_record(cfg) * max(0, n_records)
-    mrf = max(cfg.band_file_rows, -(-rows // cfg.band_max_files))
-    return {"maxRecordsPerFile": str(mrf)}
+    block = max(
+        4096,
+        (rows * _BAND_ROW_BYTES) // cfg.band_max_granules,
+    )
+    return {
+        "parquet.block.size": str(block),
+        "parquet.page.size": str(min(block, 1 << 20)),
+    }
 
 
 def salted_buckets(bands: DataFrame, cfg: ERConfig) -> tuple[DataFrame, DataFrame]:

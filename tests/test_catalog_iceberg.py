@@ -103,7 +103,7 @@ def test_pruned_scan_from_iceberg_files_shape(spark, tmp_path):
         def resolve_file(self, e):
             return e["file"]
 
-        def file_bloom(self, e):
+        def file_bloom(self, e, rg=None):
             return None
 
     keys = np.array([3, 7, 123], dtype=np.int64)

@@ -394,3 +394,52 @@ def test_frame_pixels_operator(spark):
     hb = sorted(by_vid["halfbad"], key=lambda r: r["frame_idx"])
     assert [(r["frame_idx"], r["ok"]) for r in hb] == [(0, False), (5, True)]
     assert hb[0]["pixels"] is None
+
+
+def test_solid_jpeg_closed_form():
+    """Pins the frame_pixels_solid oracle's assumptions: quality 92 scales
+    both quant tables' [0][0] to 3; every color in the oracle schedule is
+    TIE-FREE (no rounded intermediate within 1e-6 of .5 — where numpy's
+    banker's rounding and SQL's half-away rounding would diverge); and the
+    closed-form chain equals the REAL encoder+decoder output exactly."""
+    from customer_er_spark.jpeg import (
+        QT_CHROMA,
+        QT_LUMA,
+        jpeg_decode,
+        jpeg_encode,
+        scaled_quant_table,
+    )
+
+    assert scaled_quant_table(QT_LUMA, 92)[0, 0] == 3
+    assert scaled_quant_table(QT_CHROMA, 92)[0, 0] == 3
+
+    def solid(k):
+        return ((k * 37 + 11) % 256, (k * 83 + 5) % 256, (k * 53 + 29) % 256)
+
+    def closed_form(r, g, b, q=3):
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+        def dq(v):
+            x = 8 * (v - 128) / q
+            assert abs(x - np.floor(x) - 0.5) > 1e-6, ("dc tie", v, x)
+            return q * np.round(x) / 8 + 128
+
+        y2, cb2, cr2 = dq(y), dq(cb), dq(cr)
+        rr = y2 + 1.402 * (cr2 - 128)
+        gg = y2 - 0.344136 * (cb2 - 128) - 0.714136 * (cr2 - 128)
+        bb = y2 + 1.772 * (cb2 - 128)
+        for x in (rr, gg, bb):
+            assert abs(x - np.floor(x) - 0.5) > 1e-6, ("rgb tie", x)
+        return tuple(int(np.clip(np.round(v), 0, 255)) for v in (rr, gg, bb))
+
+    for k in range(120):  # the full oracle schedule (12 videos x 10 frames)
+        r, g, b = solid(k)
+        want = closed_form(r, g, b)
+        dec = jpeg_decode(
+            jpeg_encode(np.full((16, 16, 3), (r, g, b), np.uint8), quality=92)
+        )
+        u = np.unique(dec.reshape(-1, 3), axis=0)
+        assert len(u) == 1, (k, u[:4])  # DC-only decode is uniform
+        assert tuple(int(x) for x in u[0]) == want, (k, want, u[0])

@@ -164,9 +164,10 @@ def test_pruned_registry_scan(spark, small_corpus, tmp_path):
     )
     run_initial(spark, initial, catalog, CFG)
 
-    # layout contract: bucket partition dirs, per-file key ranges in the
-    # manifest, blooms in the snapshot's sidecar (r6 advice: manifests
-    # stay small; blooms live next to the data files)
+    # layout contract: bucket partition dirs (one file per bucket), per-
+    # ROW-GROUP key ranges in the manifest (data is key-sorted so ranges
+    # are narrow and disjoint-ish), blooms in the snapshot's sidecar
+    # (r6 advice: manifests stay small; blooms live next to the data)
     pb = catalog.table_meta("priors_bands")
     assert all("file" in e and "bytes" in e for e in pb["data_files"])
     assert all("band_bucket=" in e["file"] for e in pb["data_files"])
@@ -174,7 +175,12 @@ def test_pruned_registry_scan(spark, small_corpus, tmp_path):
     assert any("kmin" in e and "kmax" in e for e in pb["data_files"])
     assert all(not os.path.isabs(e["file"]) for e in pb["data_files"])
     ex = next(e for e in pb["data_files"] if e.get("bloom_sidecar"))
-    assert catalog.file_bloom(ex) is not None
+    assert len(ex["row_groups"]) > 1  # granules, not one blob per bucket
+    assert all(
+        g["kmin"] <= g["kmax"] and g["rows"] > 0 and g["bytes"] > 0
+        for g in ex["row_groups"]
+    )
+    assert catalog.file_bloom(ex, rg=0) is not None
 
     # grow the registry by one merge so append files exist too
     run_link(spark, incoming, catalog, CFG, run_key="grow")
