@@ -132,6 +132,12 @@ class ERConfig:
                                  # operators/candidates.py skew policy).
     shuffle_partitions: int = 32
     cc_checkpoint_every: int = 3  # connected-components lineage truncation
+    # bounded driver fast path for connected components (same pattern as
+    # prune_max_keys): a pair graph of at most this many raw edges is
+    # collected (~0.4 GB Arrow at the default) and solved by a vectorized
+    # driver union-find in one job; larger graphs run the distributed
+    # large-star/small-star rounds unchanged.
+    cc_driver_max_edges: int = 2_000_000
 
     # --- priors_bands physical layout / increment scan pruning ---------------
     # The committed registry band table is hash-partitioned into

@@ -65,6 +65,42 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _driver_components(pdf) -> "object":
+    """Union-find over a BOUNDED edge list on the driver, vectorized as
+    min-label propagation + pointer jumping (both O(log n) numpy rounds —
+    no per-edge Python loop).  Node ids sort lexicographically, and
+    np.unique returns them sorted, so integer-rank minimum == the string
+    minimum the iterative path produces: the two paths are bit-identical.
+    """
+    import numpy as np
+    import pandas as pd
+
+    src = pdf["src"].to_numpy()
+    dst = pdf["dst"].to_numpy()
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    if not len(src):
+        return pd.DataFrame({"image_id": [], "cluster_id": []}, dtype=object)
+    nodes = np.unique(np.concatenate([src, dst]))  # sorted: rank == lex order
+    s = np.searchsorted(nodes, src)
+    d = np.searchsorted(nodes, dst)
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        prev = label
+        lab = label.copy()
+        np.minimum.at(lab, s, label[d])
+        np.minimum.at(lab, d, label[s])
+        while True:  # flatten the label forest
+            jumped = lab[lab]
+            if np.array_equal(jumped, lab):
+                break
+            lab = jumped
+        if np.array_equal(lab, prev):
+            break
+        label = lab
+    return pd.DataFrame({"image_id": nodes, "cluster_id": nodes[label]})
+
+
 def connected_components(
     pairs: DataFrame,
     checkpoint_every: int = 3,
@@ -72,19 +108,38 @@ def connected_components(
     catalog=None,
     checkpoint_table: str = "cc_edges",
     inputs: dict | None = None,
+    driver_max_edges: int = 2_000_000,
+    n_edges_hint: int | None = None,
 ) -> DataFrame:
     """pairs(id_l, id_r) -> assignments(image_id, cluster_id).
 
     cluster_id = min image_id of the component.  Only nodes that appear in
     at least one edge are returned; callers union in singletons.
 
-    Durability: with a `catalog`, every `checkpoint_every` rounds the edge
-    set is committed as the `checkpoint_table` snapshot (manifest records
-    the round number and the caller's `inputs` lineage).  A killed run
-    resumes the fixpoint from the last committed round instead of
-    restarting at iteration 0 — the caller drops the table once its own
-    downstream output is committed.  Without a catalog, lineage is
-    truncated with ephemeral localCheckpoints (single-process mode).
+    Small graphs take a BOUNDED driver fast path (same pattern as the
+    link planner's prune_max_keys key sample): when the raw pair list has
+    at most `driver_max_edges` rows (~0.4 GB of Arrow-collected string
+    pairs at the 2M default — a fraction of any real driver heap), the
+    whole fixpoint collapses to ONE bounded scan of the committed pair
+    table plus a vectorized driver union-find, instead of >= 2 full
+    star-round jobs whose cost at bench scale is almost entirely per-round
+    scheduling.  `n_edges_hint` (any cheap upper bound the caller already
+    has, e.g. the verified_pairs row count) skips even the probe scan when
+    the graph is known to be large; above the cap the alternating
+    large-star/small-star rounds below run unchanged — that is the
+    10^12-scale path, where the pair graph is billions of edges.  The fast
+    path is deterministic (min-id) and idempotent; it needs no
+    mid-fixpoint checkpoint because it IS one short step — a killed run
+    replays less work than one checkpoint interval of the iterative path.
+
+    Durability (iterative path): with a `catalog`, every
+    `checkpoint_every` rounds the edge set is committed as the
+    `checkpoint_table` snapshot (manifest records the round number and the
+    caller's `inputs` lineage).  A killed run resumes the fixpoint from
+    the last committed round instead of restarting at iteration 0 — the
+    caller drops the table once its own downstream output is committed.
+    Without a catalog, lineage is truncated with ephemeral
+    localCheckpoints (single-process mode).
     """
     from pyspark.sql import Observation
 
@@ -118,6 +173,32 @@ def connected_components(
     )
     start_round = 0
     lineage = inputs or {}
+    resumable = None
+    if catalog is not None:
+        resumable = catalog.table_meta(checkpoint_table)
+        if not (
+            resumable is not None
+            and resumable.get("inputs") == lineage
+            and "cc_round" in resumable
+        ):
+            resumable = None
+    if (
+        resumable is None  # a mid-fixpoint checkpoint outranks the probe
+        and driver_max_edges
+        and (n_edges_hint is None or n_edges_hint <= driver_max_edges)
+    ):
+        probe = (
+            pairs.select(
+                F.col("id_l").alias("src"), F.col("id_r").alias("dst")
+            )
+            .limit(driver_max_edges + 1)
+            .toPandas()
+        )
+        if len(probe) <= driver_max_edges:
+            return pairs.sparkSession.createDataFrame(
+                _driver_components(probe),
+                "image_id string, cluster_id string",
+            )
     # round 0 is NOT materialized (r6 verdict #2: it was a whole catalog
     # write of pure fixed cost): the first star round consumes the lazy
     # derivation directly — the doubled reference inside _large_star
@@ -131,12 +212,10 @@ def connected_components(
     # write replays at most checkpoint_every rounds, the same bound as
     # between any two checkpoints.
     sig = None
-    if catalog is not None:
-        meta = catalog.table_meta(checkpoint_table)
-        if meta is not None and meta.get("inputs") == lineage and "cc_round" in meta:
-            edges = catalog.read_table(checkpoint_table)  # resume mid-fixpoint
-            start_round = meta["cc_round"]
-            sig = _sig_job(edges)
+    if resumable is not None:
+        edges = catalog.read_table(checkpoint_table)  # resume mid-fixpoint
+        start_round = resumable["cc_round"]
+        sig = _sig_job(edges)
 
     for it in range(start_round, max_iterations):
         obs_e, obs = _observed(_small_star(_large_star(edges)))

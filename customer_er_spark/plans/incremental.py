@@ -762,6 +762,7 @@ def run_incremental_match(
             rem.select("id_l", "id_r"), cfg.cc_checkpoint_every,
             catalog=catalog, checkpoint_table="cc_edges_incremental",
             inputs={**lineage, "config": ch},  # durable mid-fixpoint resume
+            driver_max_edges=cfg.cc_driver_max_edges,
         ),
         catalog, scr_assign, config_hash=ch, inputs=lineage,
     )

@@ -199,6 +199,10 @@ def run_initial(
             matches.select("id_l", "id_r"), cfg.cc_checkpoint_every,
             catalog=catalog, checkpoint_table="cc_edges",
             inputs={**ver_snap, "config": ch},  # durable mid-fixpoint resume
+            driver_max_edges=cfg.cc_driver_max_edges,
+            # the verified_pairs row count (matches are a subset) is
+            # already in hand — a known-large graph skips the probe scan
+            n_edges_hint=summary_rows(summary, "verified_pairs"),
         ),
         summary_rows(summary, "verified_pairs"),
     )

@@ -104,12 +104,57 @@ def test_connected_components_vs_union_find(spark):
     oracle_assign = {n_: min(c) for c in oracle.values() for n_ in c if len(c) > 1}
 
     df = spark.createDataFrame(edges, ["id_l", "id_r"])
-    got = {
+    want = {n_: cid for n_, cid in oracle_assign.items()}
+    # driver fast path (default: 260 edges << cap) and the distributed
+    # star rounds (cap=0 disables the fast path) must both match the
+    # union-find oracle bit-for-bit
+    got_fast = {
         r["image_id"]: r["cluster_id"]
         for r in connected_components(df).collect()
     }
-    want = {n_: cid for n_, cid in oracle_assign.items()}
-    assert got == want
+    got_star = {
+        r["image_id"]: r["cluster_id"]
+        for r in connected_components(df, driver_max_edges=0).collect()
+    }
+    assert got_fast == want
+    assert got_star == want
+
+
+def test_cc_fast_path_cap_and_hint(spark, monkeypatch):
+    """The bounded driver path engages only under the cap: an over-cap
+    probe falls back to the star rounds, and a large n_edges_hint skips
+    the probe scan entirely."""
+    import customer_er_spark.operators.components as C
+
+    pairs = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(9)], ["id_l", "id_r"]
+    )
+    calls = {"star": 0, "driver": 0}
+    orig_star, orig_drv = C._small_star, C._driver_components
+    monkeypatch.setattr(C, "_small_star", lambda e: (
+        calls.__setitem__("star", calls["star"] + 1) or orig_star(e)))
+    monkeypatch.setattr(C, "_driver_components", lambda p: (
+        calls.__setitem__("driver", calls["driver"] + 1) or orig_drv(p)))
+
+    want = {(f"n{i:02d}", "n00") for i in range(10)}
+
+    # under the cap: driver path, no star round
+    got = C.connected_components(pairs, driver_max_edges=100)
+    assert {(r["image_id"], r["cluster_id"]) for r in got.collect()} == want
+    assert calls == {"star": 0, "driver": 1}
+
+    # probe overflows a tiny cap: star rounds, driver kernel untouched
+    got = C.connected_components(pairs, driver_max_edges=4)
+    assert {(r["image_id"], r["cluster_id"]) for r in got.collect()} == want
+    assert calls["driver"] == 1 and calls["star"] > 0
+
+    # a known-large hint skips even the probe (toPandas never called)
+    monkeypatch.setattr(
+        C.DataFrame, "toPandas",
+        lambda self: (_ for _ in ()).throw(AssertionError("probe ran")),
+    )
+    got = C.connected_components(pairs, driver_max_edges=100, n_edges_hint=101)
+    assert {(r["image_id"], r["cluster_id"]) for r in got.collect()} == want
 
 
 def test_cc_durable_checkpoint_resume(spark, catalog, monkeypatch):
@@ -138,6 +183,7 @@ def test_cc_durable_checkpoint_resume(spark, catalog, monkeypatch):
         C.connected_components(
             pairs, checkpoint_every=1, catalog=catalog,
             checkpoint_table="cc_test", inputs={"src": "path64"},
+            driver_max_edges=0,  # exercise the distributed fixpoint
         )
     meta = catalog.table_meta("cc_test")
     assert meta is not None and meta["cc_round"] >= 2  # survived the crash
@@ -153,6 +199,9 @@ def test_cc_durable_checkpoint_resume(spark, catalog, monkeypatch):
     resumed = C.connected_components(
         pairs, checkpoint_every=1, catalog=catalog,
         checkpoint_table="cc_test", inputs={"src": "path64"},
+        # cap left at default: a matching mid-fixpoint checkpoint must
+        # outrank the driver fast path (the committed rounds are not
+        # thrown away)
     )
     resumed_rounds = rounds_cold["n"]
 
@@ -167,6 +216,7 @@ def test_cc_durable_checkpoint_resume(spark, catalog, monkeypatch):
     cold = C.connected_components(
         pairs, checkpoint_every=1, catalog=catalog,
         checkpoint_table="cc_test", inputs={"src": "path64"},
+        driver_max_edges=0,
     )
     assert {r["cluster_id"] for r in cold.collect()} == {"n000"}
     assert resumed_rounds < rounds_cold["n"]
@@ -176,6 +226,7 @@ def test_cc_durable_checkpoint_resume(spark, catalog, monkeypatch):
     got = C.connected_components(
         other, checkpoint_every=1, catalog=catalog,
         checkpoint_table="cc_test", inputs={"src": "tiny"},
+        driver_max_edges=0,
     )
     assert {(r["image_id"], r["cluster_id"]) for r in got.collect()} == {
         ("a", "a"), ("b", "a"),

@@ -115,9 +115,10 @@ def main() -> None:
         for r in range(repeats):
             plog: list[float] = []
             iolog: list[float] = []
-            bench_mod.wait_for_quiet_window(plog, iolog)
+            lalog: list[float] = []
+            bench_mod.wait_for_quiet_window(plog, iolog, lalog)
             res = run_once(zpath, cdir, cores)
-            res["_probe_pre"] = [plog[-1], iolog[-1]]
+            res["_probe_pre"] = [plog[-1], iolog[-1], lalog[-1]]
             res["_probe_post"] = [
                 round(bench_mod.host_probe(), 3),
                 round(bench_mod.io_probe(), 3),
