@@ -144,8 +144,14 @@ def band_sorted(bands_with_bucket: DataFrame, cfg: ERConfig) -> DataFrame:
     ).sortWithinPartitions("band_bucket", "band_key")
 
 
-# measured buffered bytes/row of the 3-column band schema in the parquet
-# writer (what parquet.block.size meters) — see BENCH/BASELINE.md r7
+# nominal buffered bytes/row of the 3-column band schema for the writer's
+# parquet.block.size meter.  The java writer meters encoded column
+# buffers and only checks size every >=100 records, so the EFFECTIVE
+# granule is data-dependent: measured 33-49 rows/row-group on the
+# increment-bench corpora and ~125 on the 6k pipeline corpus at the
+# resulting 4096-byte block — both inside the range where per-row-group
+# key ranges + blooms discriminate (20% of registry bytes read at the
+# 8k-registry rebuild, bench_out/increment_scaling.json).
 _BAND_ROW_BYTES = 32
 
 
@@ -158,11 +164,16 @@ def band_write_options(cfg: ERConfig, n_records: int) -> dict:
     groups, not files, are the skip unit: file count stays one per bucket
     (local-FS file creation forks a chmod per file under Hadoop — a
     measured 30-60s fork storm at ~1800 files — and every extra file is
-    listing/scheduling overhead on any FS)."""
+    listing/scheduling overhead on any FS).  Granule sizing is a
+    write-cost / scan-precision tradeoff: the 4096-byte block from the
+    128-row x 32-byte nominal target reads 20% of registry bytes at the
+    8k-registry rebuild for ~1.2s extra writer flush per 96k rows (the
+    once-dominant cost here — 3-4s of GIL-contended per-row-group bloom
+    builds in the commit walk — is gone: bloom.build_sliced)."""
     rows = bands_per_record(cfg) * max(0, n_records)
-    block = max(
-        4096,
-        (rows * _BAND_ROW_BYTES) // cfg.band_max_granules,
+    block = _BAND_ROW_BYTES * max(
+        cfg.band_granule_rows,
+        rows // cfg.band_max_granules,
     )
     return {
         "parquet.block.size": str(block),

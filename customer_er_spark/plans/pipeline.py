@@ -113,7 +113,10 @@ def run_initial(
 
     def build_pairs():
         # band_bucket is physical-layout state for the increment reader —
-        # project it out so it never rides the candidate-join exchange
+        # project it out so it never rides the candidate-join exchange.
+        # (Measured: the granular row-group layout reads back as fast as
+        # a fat-row-group one — 0.69s vs 0.66s arrow / 1.38s re-derive at
+        # the 6k bench — so the committed table stays the single source.)
         pairs, band_stats = candidate_pairs_from_bands(
             bands.select("band_key", "image_id", "phash"), cfg
         )

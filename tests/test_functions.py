@@ -140,3 +140,35 @@ def test_bloom_empty_and_json_roundtrip():
     b2 = json.loads(json.dumps(bloom.build(np.array([7, -9], dtype=np.int64))))
     k1, k2 = bloom.hash_keys(np.array([7], dtype=np.int64))
     assert bloom.might_contain_any(b2, k1, k2)
+
+
+def test_bloom_build_sliced_equals_per_slice_build():
+    """build_sliced is the vectorized commit-walk twin of build(): same
+    probe semantics per slice, and bit-identical to build() whenever the
+    slice's own power-of-two table size equals the shared one."""
+    import numpy as np
+
+    from customer_er_spark.functions import bloom
+
+    rng = np.random.default_rng(11)
+    keys = rng.integers(-(2**62), 2**62, 1000, dtype=np.int64)
+    slice_rows = [64] * 14 + [37, 67]
+    assert sum(slice_rows) == 1000
+    sliced = bloom.build_sliced(keys, slice_rows)
+    assert len(sliced) == len(slice_rows)
+    off = 0
+    for j, rows in enumerate(slice_rows):
+        single = bloom.build(keys[off : off + rows])
+        if single["m"] == sliced[j]["m"]:  # full-size slices: bit-identical
+            assert single == sliced[j]
+        # probe semantics hold either way: every member key is contained,
+        # and a disjoint random probe set is (almost surely) rejected
+        h_in = bloom.hash_keys(keys[off : off + rows])
+        assert bloom.might_contain_any(sliced[j], h_in[0][:1], h_in[1][:1])
+        h_out = bloom.hash_keys(
+            rng.integers(-(2**62), 2**62, 3, dtype=np.int64)
+        )
+        # 3 random keys vs a ~1e-4/key bloom: FP chance ~3e-4; seed is fixed
+        assert not bloom.might_contain_any(sliced[j], h_out[0], h_out[1])
+        off += rows
+    assert bloom.build_sliced(keys, []) == []
