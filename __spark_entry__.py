@@ -296,6 +296,22 @@ def q_ngram_jaccard(spark, sf):
     ).select("id_l", "id_r", "n_inter", "n_union")
 
 
+def q_cosine_near_dup(spark, sf):
+    """Embedding-cosine near-dup pairs — the EXACT prefix-filtered cosine
+    join (operators/simjoin.py) over hashed word-3-gram count vectors of the
+    documents table.  Unlike the MinHash/SimHash rows this is not a
+    probabilistic blocker verified to be lucky: completeness is a theorem
+    (AllPairs prefix bound), so the DuckDB oracle is a straight brute-force
+    recomputation of every pair with cosine >= 0.9.  Integer counts make
+    dot/norms exact; the single double division is expression-identical on
+    both engines, so values hash-match without tolerance."""
+    from customer_er_spark.operators.simjoin import cosine_near_dup_pairs
+
+    return cosine_near_dup_pairs(
+        _t(spark, sf, "documents"), threshold=0.9, dim=16384, n=3
+    )
+
+
 def q_minhash_lsh_pairs(spark, sf):
     """MinHash LSH candidates, verified by EXACT k-shingle Jaccard >= 9/10
     (integer-ratio predicate).  The MinHash kernel itself is hash-randomized
@@ -851,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_counts": q_quality_counts,
         "lang_distribution": q_lang_distribution,
         "ngram_jaccard": q_ngram_jaccard,
+        "cosine_near_dup": q_cosine_near_dup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -1030,6 +1047,56 @@ def _simhash_oracle() -> str:
     from customer_er_spark.operators.dedup import simhash_oracle_sql
 
     return simhash_oracle_sql(hamming_max=6)
+
+
+def _cosine_near_dup_sql(threshold: float = 0.9, dim: int = 16384, n: int = 3) -> str:
+    """Brute-force DuckDB twin of operators/simjoin.cosine_near_dup_pairs.
+
+    Recomputes EVERY pair's cosine over the same hashed word-n-gram count
+    vectors (no prefix filter — completeness of the Spark side is exactly
+    what this oracle checks).  Feature id mirrors simjoin._md5_bucket:
+    int(md5(gram)[:6], 16) % dim, spelled as strpos digit arithmetic here
+    because DuckDB has no base-16 conv().  Integer dot/norms; one double
+    division + round(6), the same expression shape as the Spark side, so
+    values hash-match with no tolerance."""
+    hexd = "0123456789abcdef"
+    hex6 = " + ".join(
+        f"(strpos('{hexd}', substring(m, {p}, 1)) - 1) * {16 ** (6 - p)}"
+        for p in range(1, 7)
+    )
+    return f"""
+        WITH d AS (SELECT doc_id,
+                          regexp_split_to_array(trim(text), '\\s+') AS t
+                   FROM documents),
+        tok AS (SELECT doc_id, t, len(t) AS nt FROM d WHERE len(t) >= {n}),
+        pos AS (SELECT doc_id, t,
+                       unnest(generate_series(1, nt - {n - 1})) AS i
+                FROM tok),
+        grams AS (SELECT doc_id,
+                         md5(array_to_string(t[i:i+{n - 1}], ' ')) AS m
+                  FROM pos),
+        feats AS (SELECT doc_id AS vec_id,
+                         ({hex6}) % {dim} AS feature,
+                         count(*) AS weight
+                  FROM grams GROUP BY 1, 2),
+        norms AS (SELECT vec_id, sum(weight * weight) AS n2
+                  FROM feats GROUP BY 1),
+        dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                        sum(a.weight * b.weight) AS dot
+                 FROM feats a JOIN feats b
+                   ON a.feature = b.feature AND a.vec_id < b.vec_id
+                 GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(CAST(dot AS DOUBLE)
+                     / (sqrt(CAST(na.n2 AS DOUBLE))
+                        * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cos
+        FROM dots
+        JOIN norms na ON na.vec_id = id_a
+        JOIN norms nb ON nb.vec_id = id_b
+        WHERE CAST(dot AS DOUBLE)
+              / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+              >= {threshold}
+    """
 
 
 def _cosine_sql() -> str:
@@ -1245,6 +1312,10 @@ def oracle_sql() -> dict[str, str]:
             WITH {_ngram_pairs_cte(0.6)}
             SELECT id_l, id_r, n_inter, n_union FROM scored
         """,
+        # cosine_near_dup — brute-force recomputation of the EXACT
+        # prefix-filtered cosine join (no recall knob to be lucky about:
+        # completeness is the AllPairs bound, so the sets must be equal)
+        "cosine_near_dup": _cosine_near_dup_sql(0.9, dim=16384, n=3),
         "dedup_clusters": f"""
             WITH RECURSIVE {_ngram_pairs_cte(0.8)},
             prs AS (SELECT CAST(id_l AS VARCHAR) AS a, CAST(id_r AS VARCHAR) AS b
