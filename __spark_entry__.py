@@ -370,6 +370,28 @@ def q_doc_fingerprints(spark, sf):
     return winnow_fingerprints(_t(spark, sf, "documents"), k=8, w=4)
 
 
+def q_repetition_stats(spark, sf):
+    # Gopher-style token-repetition signals (Rae et al. 2021 §A1.1):
+    # integer counts so the DuckDB oracle hashes exactly
+    from customer_er_spark.operators.textops import repetition_stats
+
+    return repetition_stats(_t(spark, sf, "documents"))
+
+
+def q_ngram_decontaminate(spark, sf):
+    # GPT-3-style benchmark decontamination: deterministic md5-prefix split
+    # of the documents table into "benchmark" (~3/16) and "corpus" halves,
+    # then word-8-gram overlap.  Planted near-dups straddle the split, so
+    # the result is non-vacuous (7 contaminated docs at sf0.01).
+    from customer_er_spark.operators.textops import ngram_decontaminate
+
+    docs = _t(spark, sf, "documents")
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "3"
+    return ngram_decontaminate(
+        docs.where(~is_bench), docs.where(is_bench), n=8
+    )
+
+
 def q_calibration_report(spark, sf):
     # B1 parity: stratified similarity report over exact n-gram Jaccard
     # pairs (integer-ratio deciles — engine-exact bucketing)
@@ -872,6 +894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "doc_fingerprints": q_doc_fingerprints,
+        "repetition_stats": q_repetition_stats,
+        "ngram_decontaminate": q_ngram_decontaminate,
         "calibration_report": q_calibration_report,
         "lang_id": q_lang_id,
         "fuzzy_sim": q_fuzzy_sim,
@@ -1308,6 +1332,69 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "lang_distribution": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+        # repetition_stats — word-n-gram instance generation replayed via
+        # list slicing over the same whitespace tokenization
+        "repetition_stats": r"""
+            WITH toks AS (
+              SELECT doc_id, trim(text) AS tt,
+                     regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents
+            ),
+            base AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN length(tt) = 0 THEN 0 ELSE len(t) END AS INT)
+                       AS n_tokens
+              FROM toks
+            ),
+            g2 AS (
+              SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+              FROM toks, UNNEST(range(1, len(t))) AS u(i)
+              WHERE len(t) >= 2
+            ),
+            top2 AS (
+              SELECT doc_id, CAST(max(c) AS INT) AS top2_cnt
+              FROM (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2)
+              GROUP BY doc_id
+            ),
+            g3 AS (
+              SELECT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+              FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+              WHERE len(t) >= 3
+            ),
+            dup3 AS (
+              SELECT doc_id, CAST(sum(c) AS INT) AS dup3_cnt
+              FROM (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2)
+              WHERE c >= 2 GROUP BY doc_id
+            )
+            SELECT b.doc_id, b.n_tokens,
+                   COALESCE(top2.top2_cnt, 0) AS top2_cnt,
+                   COALESCE(dup3.dup3_cnt, 0) AS dup3_cnt
+            FROM base b
+            LEFT JOIN top2 USING (doc_id)
+            LEFT JOIN dup3 USING (doc_id)
+        """,
+        # ngram_decontaminate — same md5-prefix benchmark/corpus split,
+        # distinct word-8-gram intersection counted per corpus doc
+        "ngram_decontaminate": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '3' AS is_bench,
+                     regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, is_bench, array_to_string(t[i:i+7], ' ') AS gram
+              FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+              WHERE len(t) >= 8
+            ),
+            bench AS (SELECT DISTINCT gram FROM grams WHERE is_bench),
+            corpus AS (
+              SELECT DISTINCT doc_id, gram FROM grams WHERE NOT is_bench
+            )
+            SELECT doc_id, CAST(count(*) AS INT) AS n_hits
+            FROM corpus JOIN bench USING (gram)
+            GROUP BY doc_id
+        """,
         "ngram_jaccard": f"""
             WITH {_ngram_pairs_cte(0.6)}
             SELECT id_l, id_r, n_inter, n_union FROM scored

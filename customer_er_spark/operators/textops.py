@@ -181,3 +181,118 @@ def winnow_fingerprints(
         .select("doc_id", "fp")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition stats (Gopher-style) + benchmark decontamination (r7)
+# ---------------------------------------------------------------------------
+#
+# Two standard training-data filters the corpus-quality literature uses
+# (Rae et al., "Scaling Language Models: ... Gopher", 2021, §A1.1; Brown
+# et al., GPT-3 appendix C decontamination).  Both are pure Catalyst with
+# integer outputs, so the DuckDB oracles match bit-for-bit.
+
+
+def word_grams(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, gram): every word-n-gram instance (NOT distinct) of the
+    whitespace tokenization of trim(text).  Docs with < n tokens vanish."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("t"),
+    ).where(F.size("t") >= n)
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice("t", i, n)),
+            )
+        ).alias("gram"),
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens, top2_cnt, dup3_cnt) — token-level repetition
+    signals for quality filtering:
+
+      n_tokens  whitespace token count (0 for empty text)
+      top2_cnt  occurrence count of the document's most frequent word
+                bigram (0 if fewer than 2 tokens)
+      dup3_cnt  number of word-trigram INSTANCES whose trigram occurs
+                at least twice in the document (0 if none / < 3 tokens)
+
+    Integer counts, not ratios — downstream thresholds divide by n_tokens
+    (Gopher's "fraction of tokens in repeated n-grams" family) and the
+    oracle hashes exactly.  Every input doc yields exactly one row.
+
+    Scale shape: two hash aggregates keyed by (doc_id, gram) then doc_id —
+    map-side partial aggregation absorbs the explosion; no windows, no
+    skew beyond document length (a single pathological doc is one key).
+    """
+    t = F.trim(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .cast("int")
+        .alias("n_tokens"),
+    )
+    top2 = (
+        word_grams(docs, 2, id_col, text_col)
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("int").alias("top2_cnt"))
+    )
+    dup3 = (
+        word_grams(docs, 3, id_col, text_col)
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= 2)
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("int").alias("dup3_cnt"))
+    )
+    return (
+        base.join(top2, "doc_id", "left")
+        .join(dup3, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("top2_cnt", F.lit(0)).alias("top2_cnt"),
+            F.coalesce("dup3_cnt", F.lit(0)).alias("dup3_cnt"),
+        )
+    )
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_hits): training docs that share at least one word-n-gram
+    with ANY benchmark document, with the count of DISTINCT contaminated
+    grams per doc.  The GPT-3-style decontamination primitive: the caller
+    anti-joins its corpus against this to drop (or audit) eval leakage.
+
+    Scale shape: the benchmark gram set is distinct-deduped and is
+    typically tiny next to the corpus — Spark broadcasts it under AQE (and
+    a 13-gram set for a few hundred eval sets stays well under the
+    broadcast threshold even at 100 TB corpus scale, because it scales
+    with the BENCHMARK, not the corpus).  The corpus side streams through
+    one hash semi-aggregation; no shuffle of raw text.
+    """
+    corpus_grams = word_grams(docs, n, id_col, text_col).distinct()
+    bench_grams = (
+        word_grams(benchmark, n, id_col, text_col)
+        .select("gram")
+        .distinct()
+    )
+    return (
+        corpus_grams.join(bench_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("n_hits"))
+    )

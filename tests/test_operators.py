@@ -552,3 +552,51 @@ def test_scratch_tables_do_not_clobber_across_configs(spark, catalog):
     for p in (p1, p2):
         assert catalog.table_meta(f"{p}_hamming") is not None
         assert catalog.table_meta(f"{p}_base") is not None
+
+
+def test_repetition_stats_hand_computed(spark):
+    from customer_er_spark.operators.textops import repetition_stats
+
+    data = spark.createDataFrame(
+        [
+            # "a b a b a b": bigrams {a b: 3, b a: 2}; trigrams
+            # {a b a: 2, b a b: 2} -> dup3 = 4 instances
+            ("d1", "a b a b a b"),
+            # all tokens distinct: top2 = 1, dup3 = 0
+            ("d2", "x y z w"),
+            ("d3", ""),  # empty -> 0/0/0
+            ("d4", "solo"),  # one token -> n=1, top2=0, dup3=0
+            ("d5", "  pad   pad  "),  # trim + multi-space: 2 tokens
+        ],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(data).collect()}
+    assert len(got) == 5  # every input doc yields exactly one row
+    assert (got["d1"]["n_tokens"], got["d1"]["top2_cnt"], got["d1"]["dup3_cnt"]) == (6, 3, 4)
+    assert (got["d2"]["n_tokens"], got["d2"]["top2_cnt"], got["d2"]["dup3_cnt"]) == (4, 1, 0)
+    assert (got["d3"]["n_tokens"], got["d3"]["top2_cnt"], got["d3"]["dup3_cnt"]) == (0, 0, 0)
+    assert (got["d4"]["n_tokens"], got["d4"]["top2_cnt"], got["d4"]["dup3_cnt"]) == (1, 0, 0)
+    assert (got["d5"]["n_tokens"], got["d5"]["top2_cnt"], got["d5"]["dup3_cnt"]) == (2, 1, 0)
+
+
+def test_ngram_decontaminate_hand_computed(spark):
+    from customer_er_spark.operators.textops import ngram_decontaminate
+
+    bench = spark.createDataFrame(
+        [("b1", "the quick brown fox jumps")],
+        "doc_id string, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains "the quick brown" and "quick brown fox" -> 2 hits
+            ("c1", "so the quick brown fox ran"),
+            # repeats a contaminated gram -> still DISTINCT-counted once
+            ("c2", "the quick brown x the quick brown"),
+            ("c3", "totally clean document text"),  # no overlap -> absent
+            ("c4", "brown fox jumps"),  # exactly one shared trigram
+        ],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r["n_hits"] for r in
+           ngram_decontaminate(corpus, bench, n=3).collect()}
+    assert got == {"c1": 2, "c2": 1, "c4": 1}
