@@ -28,6 +28,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from customer_er_spark.config import ERConfig
+from customer_er_spark.operators.pretrain import EMAIL_RE as _PII_EMAIL
+from customer_er_spark.operators.pretrain import IPV4_RE as _PII_IPV4
+from customer_er_spark.operators.pretrain import PHONE_RE as _PII_PHONE
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
@@ -389,6 +392,61 @@ def q_ngram_decontaminate(spark, sf):
     is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "3"
     return ngram_decontaminate(
         docs.where(~is_bench), docs.where(is_bench), n=8
+    )
+
+
+def q_pii_stats(spark, sf):
+    # PII scrub demo with deterministically PLANTED PII (the synthetic
+    # corpus contains none): every doc_id % 5 == 0 doc gains one email,
+    # one IPv4 and one phone; counts + redacted text are value-checked
+    from customer_er_spark.operators.pretrain import pii_stats
+
+    docs = _t(spark, sf, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com at 10.0.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(" or +1-555-0123"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return pii_stats(planted)
+
+
+def q_stopgram_df(spark, sf):
+    # boilerplate detector: word bigrams present in >= 25 documents
+    from customer_er_spark.operators.pretrain import stopgram_df
+
+    return stopgram_df(_t(spark, sf, "documents"), n=2, min_df=25)
+
+
+def q_stratified_sample(spark, sf):
+    # deterministic mixture weighting: keep 1/2 of en, 1/4 of de,
+    # 1/8 of everything else, by md5-prefix threshold
+    from customer_er_spark.operators.pretrain import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf, "documents"),
+        rates={"en": 0.5, "de": 0.25},
+        default_rate=0.125,
+    ).select("doc_id", "lang")
+
+
+def q_pack_sequences(spark, sf):
+    # GPT-style concat-and-chunk packing: 128-token sequences inside 8
+    # id-modulo shards (per-shard windows keep the sort partition-local)
+    from customer_er_spark.operators.pretrain import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf, "documents"), seq_len=128, n_shards=8
     )
 
 
@@ -896,6 +954,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "repetition_stats": q_repetition_stats,
         "ngram_decontaminate": q_ngram_decontaminate,
+        "pii_stats": q_pii_stats,
+        "stopgram_df": q_stopgram_df,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
         "calibration_report": q_calibration_report,
         "lang_id": q_lang_id,
         "fuzzy_sim": q_fuzzy_sim,
@@ -1372,6 +1434,84 @@ def oracle_sql() -> dict[str, str]:
             FROM base b
             LEFT JOIN top2 USING (doc_id)
             LEFT JOIN dup3 USING (doc_id)
+        """,
+        # pii_stats — same planted-PII construction, counts via
+        # regexp_extract_all, redaction via the same module-level patterns
+        "pii_stats": f"""
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com at 10.0.0.'
+                            || CAST(doc_id % 256 AS VARCHAR)
+                            || ' or +1-555-0123'
+                     ELSE text END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT)
+                     AS n_emails,
+                   CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS INT)
+                     AS n_ipv4,
+                   CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INT)
+                     AS n_phones,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{_PII_IPV4}', '<IP>', 'g'),
+                       '{_PII_PHONE}', '<PHONE>', 'g') AS text_redacted
+            FROM planted
+        """,
+        # stopgram_df — distinct word-bigram per doc, document frequency
+        "stopgram_df": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents
+            ),
+            g AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+              FROM toks, UNNEST(range(1, len(t))) AS u(i)
+              WHERE len(t) >= 2
+            )
+            SELECT gram, CAST(count(*) AS INT) AS df
+            FROM g GROUP BY gram HAVING count(*) >= 25
+        """,
+        # stratified_sample — md5-prefix thresholds: en 1/2, de 1/4,
+        # default 1/8 (hex thresholds = rate * 16^8)
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                  CASE lang WHEN 'en' THEN '80000000'
+                            WHEN 'de' THEN '40000000'
+                            ELSE '20000000' END
+        """,
+        # pack_sequences — identical shard/cumsum/chunk-interval math
+        "pack_sequences": r"""
+            WITH toks AS (
+              SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                          END AS BIGINT) AS n
+              FROM documents
+            ),
+            laid AS (
+              SELECT doc_id, shard, n,
+                     CAST(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) - n
+                          AS BIGINT) AS start_off
+              FROM toks WHERE n > 0
+            ),
+            expl AS (
+              SELECT doc_id, shard, start_off, n, CAST(c AS INT) AS chunk_id
+              FROM laid,
+                   UNNEST(range(start_off // 128,
+                                (start_off + n - 1) // 128 + 1)) AS u(c)
+            )
+            SELECT doc_id, shard, chunk_id,
+                   CAST(LEAST(start_off + n, (chunk_id + 1) * 128)
+                        - GREATEST(start_off, chunk_id * 128) AS INT)
+                     AS tok_in_chunk,
+                   CAST(start_off AS BIGINT) AS start_off
+            FROM expl
         """,
         # ngram_decontaminate — same md5-prefix benchmark/corpus split,
         # distinct word-8-gram intersection counted per corpus doc

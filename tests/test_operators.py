@@ -600,3 +600,116 @@ def test_ngram_decontaminate_hand_computed(spark):
     got = {r["doc_id"]: r["n_hits"] for r in
            ngram_decontaminate(corpus, bench, n=3).collect()}
     assert got == {"c1": 2, "c2": 1, "c4": 1}
+
+
+def test_pii_stats_counts_and_redaction(spark):
+    from customer_er_spark.operators.pretrain import pii_stats
+
+    data = spark.createDataFrame(
+        [
+            ("d1", "mail a@b.io or c.d+x@e-f.org, ip 10.0.0.1, tel +1-555-0199"),
+            ("d2", "no pii here, just 1.2 numbers and @mentions"),
+            ("d3", "two ips 192.168.0.1 8.8.8.8"),
+        ],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_stats(data).collect()}
+    assert (got["d1"]["n_emails"], got["d1"]["n_ipv4"], got["d1"]["n_phones"]) == (2, 1, 1)
+    assert got["d1"]["text_redacted"] == "mail <EMAIL> or <EMAIL>, ip <IP>, tel <PHONE>"
+    assert (got["d2"]["n_emails"], got["d2"]["n_ipv4"], got["d2"]["n_phones"]) == (0, 0, 0)
+    assert got["d2"]["text_redacted"] == "no pii here, just 1.2 numbers and @mentions"
+    assert got["d3"]["n_ipv4"] == 2
+    assert got["d3"]["text_redacted"] == "two ips <IP> <IP>"
+
+
+def test_stopgram_df_doc_frequency(spark):
+    from customer_er_spark.operators.pretrain import stopgram_df
+
+    data = spark.createDataFrame(
+        [
+            ("d1", "click here now"),       # "click here" x1 doc
+            ("d2", "click here click here"),  # distinct-per-doc: counts once
+            ("d3", "click here too"),
+            ("d4", "something else entirely"),
+        ],
+        "doc_id string, text string",
+    )
+    got = {r["gram"]: r["df"] for r in stopgram_df(data, n=2, min_df=3).collect()}
+    assert got == {"click here": 3}
+
+
+def test_stratified_sample_deterministic_and_stratified(spark):
+    import hashlib
+
+    from customer_er_spark.operators.pretrain import (
+        hash_rate_threshold,
+        stratified_sample,
+    )
+
+    data = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "xx") for i in range(400)],
+        "doc_id long, lang string",
+    )
+    kept = stratified_sample(data, rates={"en": 0.5}, default_rate=0.0)
+    rows = sorted((r["doc_id"], r["lang"]) for r in kept.collect())
+    # deterministic: a second run returns the identical set
+    rows2 = sorted(
+        (r["doc_id"], r["lang"])
+        for r in stratified_sample(data, rates={"en": 0.5}, default_rate=0.0).collect()
+    )
+    assert rows == rows2
+    assert all(lang == "en" for _, lang in rows)  # default_rate=0 drops xx
+    # membership matches the documented md5-prefix rule exactly
+    thr = hash_rate_threshold(0.5)
+    expect = sorted(
+        (i, "en")
+        for i in range(0, 400, 2)
+        if hashlib.md5(str(i).encode()).hexdigest()[:8] < thr
+    )
+    assert rows == expect
+    assert 60 <= len(rows) <= 140  # ~half of the 200 en docs
+
+
+def test_pack_sequences_hand_computed_straddle(spark):
+    from customer_er_spark.operators.pretrain import pack_sequences
+
+    # one shard (n_shards=1): docs of 5, 5, 6 tokens, seq_len=8:
+    #   doc 0 [0,5)  -> chunk 0: 5
+    #   doc 1 [5,10) -> chunk 0: 3, chunk 1: 2   (straddles the cut)
+    #   doc 2 [10,16)-> chunk 1: 6
+    data = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "f g h i j"), (2, "k l m n o p")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["tok_in_chunk"], r["start_off"])
+        for r in pack_sequences(data, seq_len=8, n_shards=1).collect()
+    )
+    assert got == [(0, 0, 5, 0), (1, 0, 3, 5), (1, 1, 2, 5), (2, 1, 6, 10)]
+
+
+def test_pack_sequences_chunk_fill_invariant(spark, docs):
+    from customer_er_spark.operators.pretrain import pack_sequences
+
+    packed = pack_sequences(docs, seq_len=64, n_shards=4)
+    fills = (
+        packed.groupBy("shard", "chunk_id")
+        .agg(F.sum("tok_in_chunk").alias("fill"), F.max("chunk_id").alias("c"))
+    )
+    last = packed.groupBy("shard").agg(F.max("chunk_id").alias("last_c"))
+    bad = (
+        fills.join(last, "shard")
+        .where((F.col("chunk_id") != F.col("last_c")) & (F.col("fill") != 64))
+        .count()
+    )
+    assert bad == 0  # every non-final chunk in every shard is exactly full
+    # and every doc's tokens are fully accounted for
+    total_packed = packed.agg(F.sum("tok_in_chunk")).collect()[0][0]
+    total_tokens = docs.select(
+        F.sum(
+            F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+                F.size(F.split(F.trim("text"), r"\s+"))
+            )
+        )
+    ).collect()[0][0]
+    assert total_packed == total_tokens
