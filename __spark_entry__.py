@@ -395,6 +395,23 @@ def q_ngram_decontaminate(spark, sf):
     )
 
 
+def q_duplicate_spans(spark, sf):
+    # corpus-level exact duplicate-substring detection (Lee et al. 2022
+    # ExactSubstr at L-gram resolution): maximal spans whose every
+    # 30-char substring repeats somewhere in the corpus
+    from customer_er_spark.operators.textops import duplicate_spans
+
+    return duplicate_spans(_t(spark, sf, "documents"), min_len=30)
+
+
+def q_dedup_substrings(spark, sf):
+    # the removal half: every doc with its duplicated spans cut out and
+    # the remaining segments concatenated in order (value-checked text)
+    from customer_er_spark.operators.textops import dedup_substrings
+
+    return dedup_substrings(_t(spark, sf, "documents"), min_len=30)
+
+
 def q_pii_stats(spark, sf):
     # PII scrub demo with deterministically PLANTED PII (the synthetic
     # corpus contains none): every doc_id % 5 == 0 doc gains one email,
@@ -954,6 +971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "repetition_stats": q_repetition_stats,
         "ngram_decontaminate": q_ngram_decontaminate,
+        "duplicate_spans": q_duplicate_spans,
+        "dedup_substrings": q_dedup_substrings,
         "pii_stats": q_pii_stats,
         "stopgram_df": q_stopgram_df,
         "stratified_sample": q_stratified_sample,
@@ -979,6 +998,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+# Shared CTE chain for the duplicate-substring oracles (L = 30): exploded
+# L-gram start positions -> window count per gram md5 -> duplicated
+# positions -> gaps-and-islands interval merge.  Mirrors
+# operators/textops.py::duplicate_spans clause-for-clause.
+_DUP_SPANS_SQL = """
+            WITH g AS (
+              SELECT doc_id, CAST(u.p AS INT) AS p,
+                     md5(substr(text, CAST(u.p AS INT), 30)) AS gh
+              FROM documents,
+                   UNNEST(generate_series(1, length(text) - 29)) AS u(p)
+              WHERE length(text) >= 30
+            ),
+            hits AS (
+              SELECT doc_id, p FROM (
+                SELECT doc_id, p, count(*) OVER (PARTITION BY gh) AS c FROM g
+              ) WHERE c >= 2
+            ),
+            isl AS (
+              SELECT doc_id, p,
+                     CASE WHEN p > COALESCE(max(p + 30) OVER (
+                            PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0)
+                     THEN 1 ELSE 0 END AS ni
+              FROM hits
+            ),
+            isl2 AS (
+              SELECT doc_id, p,
+                     sum(ni) OVER (PARTITION BY doc_id ORDER BY p) AS island
+              FROM isl
+            )
+"""
 
 
 def _ngram_pairs_cte(
@@ -1434,6 +1486,43 @@ def oracle_sql() -> dict[str, str]:
             FROM base b
             LEFT JOIN top2 USING (doc_id)
             LEFT JOIN dup3 USING (doc_id)
+        """,
+        # duplicate_spans — L-gram start explode via generate_series,
+        # window count per gram md5, gaps-and-islands merge: replays the
+        # Spark plan clause-for-clause
+        "duplicate_spans": _DUP_SPANS_SQL
+        + """
+            SELECT doc_id, CAST(min(p) AS INT) AS span_start,
+                   CAST(max(p + 30) AS INT) AS span_end,
+                   CAST(max(p + 30) - min(p) AS INT) AS span_len
+            FROM isl2 GROUP BY doc_id, island
+        """,
+        # dedup_substrings — spans CTE + sentinel span at len+1, gap
+        # segments via lag(span_end), ordered empty-separator string_agg
+        "dedup_substrings": _DUP_SPANS_SQL
+        + """
+            , spans AS (
+              SELECT doc_id, CAST(min(p) AS INT) AS span_start,
+                     CAST(max(p + 30) AS INT) AS span_end
+              FROM isl2 GROUP BY doc_id, island
+            ),
+            base AS (SELECT doc_id, text AS t, length(text) AS n FROM documents),
+            allspans AS (
+              SELECT doc_id, span_start, span_end FROM spans
+              UNION ALL
+              SELECT doc_id, CAST(n + 1 AS INT), CAST(n + 1 AS INT) FROM base
+            ),
+            segs AS (
+              SELECT doc_id, span_start,
+                     COALESCE(lag(span_end) OVER (
+                       PARTITION BY doc_id ORDER BY span_start), 1) AS seg_start
+              FROM allspans
+            )
+            SELECT s.doc_id,
+                   string_agg(substr(b.t, s.seg_start, s.span_start - s.seg_start),
+                              '' ORDER BY s.seg_start) AS clean_text
+            FROM segs s JOIN base b USING (doc_id)
+            GROUP BY s.doc_id
         """,
         # pii_stats — same planted-PII construction, counts via
         # regexp_extract_all, redaction via the same module-level patterns

@@ -296,3 +296,143 @@ def ngram_decontaminate(
         .groupBy("doc_id")
         .agg(F.count("*").cast("int").alias("n_hits"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level exact duplicate-substring detection (r7)
+# ---------------------------------------------------------------------------
+#
+# The substring-granular half of training-data dedup (Lee et al.,
+# "Deduplicating Training Data Makes Language Models Better", ACL 2022):
+# document-level MinHash/SimHash misses long passages duplicated INSIDE
+# otherwise-distinct documents (boilerplate, licenses, quoted articles).
+# Lee et al. build a corpus suffix array; the Spark-native equivalent
+# below reaches the same exact answer for a fixed minimum length L with
+# two hash shuffles and no suffix array: every duplicated substring of
+# length >= L is a union of duplicated L-grams, so marking duplicated
+# L-gram start positions and merging overlapping [p, p+L) intervals
+# yields exactly the maximal duplicated spans at L-gram resolution.
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    min_len: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, span_start, span_end, span_len): maximal character spans
+    whose every length-`min_len` substring occurs at least twice in the
+    corpus (within- or cross-document).  `span_start` is 1-based,
+    `span_end` exclusive; adjacent/overlapping gram intervals merge.
+    Docs shorter than `min_len` produce no rows.
+
+    Pure Catalyst, bit-replayable in SQL: explode L-gram start positions
+    (sequence + substring + md5), count occurrences per gram hash with a
+    window over the hash (ONE exchange keyed by a 32-char hash — no raw
+    text shuffles, no pair expansion: a gram duplicated a million times is
+    one counted partition, never a million^2 join), keep positions whose
+    gram count >= 2, then gaps-and-islands over (doc_id, p) to merge
+    intervals (second exchange, keyed by doc).
+
+    Scale shape: the exploded gram relation is ~|text| rows of
+    (doc_id, int, 32-char hash); for 100 TB corpora the same plan holds —
+    both exchanges are narrow fixed-width rows, hot grams cost O(count)
+    not O(count^2), and AQE handles residual skew.  md5 collisions
+    (~2^-128 per pair) are the standard fingerprinting trade the oracle
+    replays verbatim.
+    """
+    from pyspark.sql import Window
+
+    L = int(min_len)
+    grams = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t"))
+        .where(F.length("t") >= L)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("t") - F.lit(L - 1))
+            ).alias("p"),
+            "t",
+        )
+        .select(
+            "doc_id", "p", F.md5(F.substring(F.col("t"), F.col("p"), L)).alias("gh")
+        )
+    )
+    hits = (
+        grams.withColumn("c", F.count("*").over(Window.partitionBy("gh")))
+        .where(F.col("c") >= 2)
+        .select("doc_id", "p")
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    prev_end = F.max(F.col("p") + L).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.withColumn(
+        "new_island",
+        F.when(prev_end.isNull() | (F.col("p") > prev_end), 1).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(w))
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("p").alias("s"),
+            F.max(F.col("p") + L).alias("e"),
+        )
+        .select(
+            "doc_id",
+            F.col("s").cast("int").alias("span_start"),
+            F.col("e").cast("int").alias("span_end"),
+            (F.col("e") - F.col("s")).cast("int").alias("span_len"),
+        )
+    )
+
+
+def dedup_substrings(
+    docs: DataFrame,
+    min_len: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, clean_text): every document with its duplicated spans
+    (per `duplicate_spans`, ALL occurrences — Lee et al.'s ExactSubstr
+    policy) cut out and the remaining segments concatenated in order.
+    Every input doc yields exactly one row; a fully-duplicated doc yields
+    an empty string.
+
+    Segment extraction is one more window pass over the spans: append a
+    per-doc sentinel span at (len+1, len+1), then each span's preceding
+    gap is substring(t, lag(span_end, default 1), span_start - lag);
+    ordered concatenation via array_sort(collect_list(struct)) keeps the
+    whole thing deterministic and SQL-replayable (string_agg ... ORDER BY
+    on the oracle side).
+    """
+    from pyspark.sql import Window
+
+    spans = duplicate_spans(docs, min_len=min_len, id_col=id_col, text_col=text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("t")
+    )
+    sentinel = base.select(
+        "doc_id",
+        (F.length("t") + 1).cast("int").alias("span_start"),
+        (F.length("t") + 1).cast("int").alias("span_end"),
+    )
+    allspans = spans.select("doc_id", "span_start", "span_end").unionByName(sentinel)
+    w = Window.partitionBy("doc_id").orderBy("span_start")
+    segs = (
+        allspans.join(base, "doc_id")
+        .withColumn("seg_start", F.coalesce(F.lag("span_end").over(w), F.lit(1)))
+        .select(
+            "doc_id",
+            "seg_start",
+            F.expr("substring(t, seg_start, span_start - seg_start)").alias("seg"),
+        )
+    )
+    return segs.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_start", "seg"))),
+                lambda x: x["seg"],
+            ),
+            "",
+        ).alias("clean_text")
+    )

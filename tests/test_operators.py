@@ -713,3 +713,87 @@ def test_pack_sequences_chunk_fill_invariant(spark, docs):
         )
     ).collect()[0][0]
     assert total_packed == total_tokens
+
+
+# ---------------------------------------------------------------------------
+# duplicate_spans / dedup_substrings (corpus-level exact substring dedup, r7)
+# ---------------------------------------------------------------------------
+
+
+def _naive_dup_spans(texts: dict[int, str], L: int) -> dict[int, list[tuple[int, int]]]:
+    """Reference: mark every L-gram start whose gram occurs >= 2 times in
+    the whole corpus, merge overlapping/adjacent [p, p+L) intervals."""
+    from collections import Counter
+
+    counts: Counter[str] = Counter()
+    for t in texts.values():
+        for p in range(len(t) - L + 1):
+            counts[t[p : p + L]] += 1
+    spans: dict[int, list[tuple[int, int]]] = {}
+    for d, t in texts.items():
+        cur: list[tuple[int, int]] = []
+        for p in range(len(t) - L + 1):
+            if counts[t[p : p + L]] >= 2:
+                s, e = p + 1, p + 1 + L  # 1-based start, exclusive end
+                if cur and s <= cur[-1][1]:
+                    cur[-1] = (cur[-1][0], max(cur[-1][1], e))
+                else:
+                    cur.append((s, e))
+        if cur:
+            spans[d] = cur
+    return spans
+
+
+def test_duplicate_spans_vs_naive(spark):
+    from customer_er_spark.operators.textops import duplicate_spans
+
+    boiler = "COPYRIGHT NOTICE: all rights reserved by the publisher."
+    texts = {
+        1: "alpha " + boiler + " unique tail one xxxxxxx",
+        2: "beta document " + boiler + " second unique ending yyy",
+        3: "entirely unique document with no repeated passages at all",
+        4: "short",  # < L: no grams
+        5: "zz " + boiler + " and " + boiler + " twice in one doc",
+    }
+    L = 20
+    data = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    got: dict[int, list[tuple[int, int]]] = {}
+    for r in duplicate_spans(data, min_len=L).collect():
+        got.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+        assert r["span_len"] == r["span_end"] - r["span_start"]
+    got = {d: sorted(v) for d, v in got.items()}
+    assert got == _naive_dup_spans(texts, L)
+    assert 3 not in got and 4 not in got
+    assert len(got[5]) >= 1  # within-doc repetition counts too
+
+
+def test_dedup_substrings_matches_span_removal(spark):
+    from customer_er_spark.operators.textops import dedup_substrings
+
+    boiler = "SHARED BOILERPLATE SEGMENT REPEATED EVERYWHERE"
+    texts = {
+        1: boiler + " then something original here",
+        2: "prefix one " + boiler + " suffix one",
+        3: boiler,  # fully duplicated -> empty clean text
+        4: "wholly original short document",
+        5: "tiny",
+    }
+    L = 20
+    data = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    spans = _naive_dup_spans(texts, L)
+    expected = {}
+    for d, t in texts.items():
+        keep, pos = [], 0
+        for s, e in spans.get(d, []):
+            keep.append(t[pos : s - 1])
+            pos = e - 1
+        keep.append(t[pos:])
+        expected[d] = "".join(keep)
+    got = {r["doc_id"]: r["clean_text"] for r in dedup_substrings(data, min_len=L).collect()}
+    assert got == expected
+    assert got[3] == ""  # fully-duplicated doc survives as one empty row
+    assert got[4] == texts[4] and got[5] == texts[5]
