@@ -412,6 +412,63 @@ def q_dedup_substrings(spark, sf):
     return dedup_substrings(_t(spark, sf, "documents"), min_len=30)
 
 
+def q_semantic_dedup(spark, sf):
+    # SemDeDup-style survivor selection (Abbas et al. 2023) over the dense
+    # embedding table: exact cosine-threshold pair graph -> connected
+    # components -> keep one representative per semantic cluster.  The
+    # paper restricts comparisons to k-means cells purely to shrink the
+    # pair space at scale; this exact full-space twin is strictly more
+    # complete (the scale path composes the same CC+survivor tail with
+    # ivf_topk/lsh_topk candidate pairs).  cluster_id is the component's
+    # canonical survivor under the engine's components.py rule (min of the
+    # string-typed ids); keep marks the survivor.  500 rows at sf0.01 with
+    # 59 threshold pairs merged.
+    from customer_er_spark.operators.dedup import dedup_clusters
+    from customer_er_spark.operators.similarity import (
+        _dot_unrolled,
+        _norm2_unrolled,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    base = emb.select("vec_id", F.col("embedding").alias("vec")).withColumn(
+        "nrm", F.sqrt(_norm2_unrolled("vec", 64))
+    )
+    a = base.select(
+        F.col("vec_id").alias("id_l"),
+        F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_r"),
+        F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("id_l") < F.col("id_r"))
+        .where(
+            _dot_unrolled("va", "vb", 64) / (F.col("na") * F.col("nb"))
+            >= F.lit(0.4)
+        )
+        .select("id_l", "id_r")
+    )
+    cc = dedup_clusters(pairs).select(
+        F.col("doc_id").cast("bigint").alias("vec_id"),
+        F.col("cluster_id").alias("cid"),
+    )
+    return (
+        emb.select("vec_id")
+        .join(cc, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("cid", F.col("vec_id").cast("string"))
+            .cast("bigint")
+            .alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("vec_id") == F.col("cluster_id"))
+    )
+
+
 def q_pii_stats(spark, sf):
     # PII scrub demo with deterministically PLANTED PII (the synthetic
     # corpus contains none): every doc_id % 5 == 0 doc gains one email,
@@ -973,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_decontaminate": q_ngram_decontaminate,
         "duplicate_spans": q_duplicate_spans,
         "dedup_substrings": q_dedup_substrings,
+        "semantic_dedup": q_semantic_dedup,
         "pii_stats": q_pii_stats,
         "stopgram_df": q_stopgram_df,
         "stratified_sample": q_stratified_sample,
@@ -1263,6 +1321,45 @@ ranked AS (
   FROM scored)
 SELECT query_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5
+"""
+
+
+def _semantic_dedup_sql() -> str:
+    # exact cosine-threshold pair graph (same unrolled double-precision
+    # operation order as the Spark side -> bit-identical threshold
+    # decisions), then the same recursive-CC + string-min survivor rule
+    # the dedup_clusters oracle uses
+    dot = "+".join(
+        f"(CAST(a.embedding[{i}] AS DOUBLE)*CAST(b.embedding[{i}] AS DOUBLE))"
+        for i in range(1, 65)
+    )
+    na = "+".join(
+        f"(CAST(a.embedding[{i}] AS DOUBLE)*CAST(a.embedding[{i}] AS DOUBLE))"
+        for i in range(1, 65)
+    )
+    nb = "+".join(
+        f"(CAST(b.embedding[{i}] AS DOUBLE)*CAST(b.embedding[{i}] AS DOUBLE))"
+        for i in range(1, 65)
+    )
+    return f"""
+WITH RECURSIVE scored AS (
+  SELECT a.vec_id AS id_l, b.vec_id AS id_r
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id
+    AND ({dot})/(sqrt({na})*sqrt({nb})) >= 0.4),
+prs AS (SELECT CAST(id_l AS VARCHAR) AS x, CAST(id_r AS VARCHAR) AS y
+        FROM scored),
+edges AS (SELECT x, y FROM prs UNION SELECT y, x FROM prs),
+reach(n, r) AS (
+  SELECT x, x FROM edges
+  UNION
+  SELECT e.y, reach.r FROM reach JOIN edges e ON e.x = reach.n),
+cc AS (SELECT n, min(r) AS r FROM reach GROUP BY n)
+SELECT e.vec_id,
+       CAST(COALESCE(cc.r, CAST(e.vec_id AS VARCHAR)) AS BIGINT) AS cluster_id,
+       (COALESCE(cc.r, CAST(e.vec_id AS VARCHAR)) = CAST(e.vec_id AS VARCHAR))
+         AS keep
+FROM embeddings e LEFT JOIN cc ON cc.n = CAST(e.vec_id AS VARCHAR)
 """
 
 
@@ -1711,6 +1808,7 @@ def oracle_sql() -> dict[str, str]:
                         'n_regionkey': 'INTEGER'}})
         """,
         "embedding_topk": _cosine_sql(),
+        "semantic_dedup": _semantic_dedup_sql(),
         # the three hash-randomized kernels get VALUE-level oracles via
         # deterministic compositions (see each query's docstring):
         # minhash_lsh_pairs — LSH recall at jacc>=0.9 is ~1-1e-15, so the
