@@ -32,7 +32,7 @@ N_BENCH_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "6000"))
 # round-2 "regression" was pure host jitter.  tools/bench_scaling.py has
 # used best-of-N from the start; the driver-facing harness now matches.
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-N_PIPE_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_PIPE_RUNS", "2"))
+N_PIPE_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_PIPE_RUNS", "3"))
 
 # --- host-weather probe ------------------------------------------------------
 # The round-4 driver record was taken in a noisy host window and showed a
