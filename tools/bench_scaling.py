@@ -213,8 +213,10 @@ shuffle, no JVM, no shared state) and times two phases separately:
 
 Reading: even PERFECT embarrassingly parallel work with zero allocation
 tops out at {mix_comp} (CPU-bound) / {mix_band} (memory-bound) efficiency
-on this box — the >= 0.8 target is above the machine's own memory-bound
-ceiling — and the concurrent page-fault path (which every Arrow batch,
+on this box — the >= 0.8 target must be read against these machine
+ceilings, which move with host weather (a stalled-day measurement of the
+same kernels read 0.754 memory-bound; see this file's git history) —
+and the concurrent page-fault path (which every Arrow batch,
 shuffle buffer, and fresh numpy allocation in a real engine exercises)
 collapses to {alloc_eff}.  Against the memory-bound ceiling, this engine's
 measured end-to-end efficiency of {eff:.3f} is **{rel} of what the host

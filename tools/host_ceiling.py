@@ -105,8 +105,8 @@ def main() -> None:
         for _ in range(repeats):
             for p in (p_small, p_big):
                 a, m = run_procs(p, **kw)
-                walls[p]["alloc"].append(round(a, 3))
-                walls[p]["mix"].append(round(m, 3))
+                walls[p]["alloc"].append(round(a, 6))
+                walls[p]["mix"].append(round(m, 6))
         rec = {"walls": walls}
         for phase in ("alloc", "mix"):
             best_s = min(walls[p_small][phase])
