@@ -797,3 +797,41 @@ def test_dedup_substrings_matches_span_removal(spark):
     assert got == expected
     assert got[3] == ""  # fully-duplicated doc survives as one empty row
     assert got[4] == texts[4] and got[5] == texts[5]
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_duplicate_spans_randomized_vs_naive(spark, seed):
+    """Adversarial regime: tiny alphabet -> dense cross-doc gram collisions,
+    abutting and overlapping spans, within-doc repeats."""
+    import random
+
+    from customer_er_spark.operators.textops import dedup_substrings, duplicate_spans
+
+    rng = random.Random(seed)
+    L = 8
+    texts = {
+        d: "".join(rng.choice("ab ") for _ in range(rng.randint(0, 60)))
+        for d in range(40)
+    }
+    data = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    want = _naive_dup_spans(texts, L)
+    got: dict[int, list[tuple[int, int]]] = {}
+    for r in duplicate_spans(data, min_len=L).collect():
+        got.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    assert {d: sorted(v) for d, v in got.items()} == want
+
+    expected_clean = {}
+    for d, t in texts.items():
+        keep, pos = [], 0
+        for s, e in want.get(d, []):
+            keep.append(t[pos : s - 1])
+            pos = e - 1
+        keep.append(t[pos:])
+        expected_clean[d] = "".join(keep)
+    got_clean = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup_substrings(data, min_len=L).collect()
+    }
+    assert got_clean == expected_clean
