@@ -835,3 +835,47 @@ def test_duplicate_spans_randomized_vs_naive(spark, seed):
         for r in dedup_substrings(data, min_len=L).collect()
     }
     assert got_clean == expected_clean
+
+
+def test_semantic_dedup_vs_numpy_union_find(spark):
+    """Third verification path for the SemDeDup query (besides the DuckDB
+    oracle and the CC operator's own tests): numpy cosine graph + union-find
+    with the same string-min survivor rule."""
+    import numpy as np
+
+    from __spark_entry__ import q_semantic_dedup
+
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    v = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    nrm = np.sqrt((v * v).sum(axis=1))
+    cos = (v @ v.T) / np.outer(nrm, nrm)
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    iu, ju = np.triu_indices(len(ids), k=1)
+    for a, b in zip(iu[cos[iu, ju] >= 0.4], ju[cos[iu, ju] >= 0.4]):
+        ra, rb = find(int(ids[a])), find(int(ids[b]))
+        if ra != rb:
+            parent[ra] = rb
+    comps: dict[int, list[int]] = {}
+    for i in ids:
+        comps.setdefault(find(int(i)), []).append(int(i))
+    expected = {}
+    for members in comps.values():
+        rep = int(min((str(m) for m in members)))  # components.py min-string rule
+        for m in members:
+            expected[m] = rep
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["keep"])
+        for r in q_semantic_dedup(spark, SF).collect()
+    }
+    assert len(got) == len(ids)
+    for m, rep in expected.items():
+        assert got[m] == (rep, m == rep)
+    assert sum(1 for _, (c, k) in got.items() if k) == len(comps)
