@@ -879,3 +879,24 @@ def test_semantic_dedup_vs_numpy_union_find(spark):
     for m, rep in expected.items():
         assert got[m] == (rep, m == rep)
     assert sum(1 for _, (c, k) in got.items() if k) == len(comps)
+
+
+def test_duplicate_spans_unicode_and_null(spark):
+    """Positions are CHARACTER-based (multibyte-safe: Spark substring,
+    DuckDB substr and Python slicing all agree) and a NULL text survives
+    dedup_substrings as one empty-string row."""
+    from customer_er_spark.operators.textops import dedup_substrings, duplicate_spans
+
+    rep = "café müller "  # 12 chars, multibyte
+    data = spark.createDataFrame(
+        [(1, None), (2, rep * 4), (3, "日本語の字" * 5), (4, "plain short")],
+        "doc_id long, text string",
+    )
+    spans = {r["doc_id"]: (r["span_start"], r["span_end"])
+             for r in duplicate_spans(data, min_len=10).collect()}
+    assert spans[2] == (1, len(rep * 4) + 1)  # fully covered, char-counted
+    assert spans[3] == (1, len("日本語の字" * 5) + 1)
+    assert 1 not in spans and 4 not in spans
+    clean = {r["doc_id"]: r["clean_text"]
+             for r in dedup_substrings(data, min_len=10).collect()}
+    assert clean == {1: "", 2: "", 3: "", 4: "plain short"}
