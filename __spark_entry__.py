@@ -1295,19 +1295,25 @@ def _cosine_near_dup_sql(threshold: float = 0.9, dim: int = 16384, n: int = 3) -
     """
 
 
-def _cosine_sql() -> str:
+def _unrolled_cosine_exprs(dim: int = 64) -> tuple[str, str, str]:
+    """(dot, norm_a, norm_b) SQL strings with the SAME left-to-right
+    double-precision operation order as the Spark side's _dot_unrolled /
+    _norm2_unrolled — the property that makes threshold decisions
+    bit-identical across engines.  Single source for every cosine oracle."""
     dot = "+".join(
         f"(CAST(a.embedding[{i}] AS DOUBLE)*CAST(b.embedding[{i}] AS DOUBLE))"
-        for i in range(1, 65)
+        for i in range(1, dim + 1)
     )
     na = "+".join(
         f"(CAST(a.embedding[{i}] AS DOUBLE)*CAST(a.embedding[{i}] AS DOUBLE))"
-        for i in range(1, 65)
+        for i in range(1, dim + 1)
     )
-    nb = "+".join(
-        f"(CAST(b.embedding[{i}] AS DOUBLE)*CAST(b.embedding[{i}] AS DOUBLE))"
-        for i in range(1, 65)
-    )
+    nb = na.replace("a.embedding", "b.embedding")
+    return dot, na, nb
+
+
+def _cosine_sql() -> str:
+    dot, na, nb = _unrolled_cosine_exprs()
     return f"""
 WITH scored AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -1325,22 +1331,10 @@ FROM ranked WHERE rank <= 5
 
 
 def _semantic_dedup_sql() -> str:
-    # exact cosine-threshold pair graph (same unrolled double-precision
-    # operation order as the Spark side -> bit-identical threshold
-    # decisions), then the same recursive-CC + string-min survivor rule
-    # the dedup_clusters oracle uses
-    dot = "+".join(
-        f"(CAST(a.embedding[{i}] AS DOUBLE)*CAST(b.embedding[{i}] AS DOUBLE))"
-        for i in range(1, 65)
-    )
-    na = "+".join(
-        f"(CAST(a.embedding[{i}] AS DOUBLE)*CAST(a.embedding[{i}] AS DOUBLE))"
-        for i in range(1, 65)
-    )
-    nb = "+".join(
-        f"(CAST(b.embedding[{i}] AS DOUBLE)*CAST(b.embedding[{i}] AS DOUBLE))"
-        for i in range(1, 65)
-    )
+    # exact cosine-threshold pair graph (shared _unrolled_cosine_exprs ->
+    # bit-identical threshold decisions vs the Spark side), then the same
+    # recursive-CC + string-min survivor rule the dedup_clusters oracle uses
+    dot, na, nb = _unrolled_cosine_exprs()
     return f"""
 WITH RECURSIVE scored AS (
   SELECT a.vec_id AS id_l, b.vec_id AS id_r
@@ -1616,8 +1610,12 @@ def oracle_sql() -> dict[str, str]:
               FROM allspans
             )
             SELECT s.doc_id,
-                   string_agg(substr(b.t, s.seg_start, s.span_start - s.seg_start),
-                              '' ORDER BY s.seg_start) AS clean_text
+                   -- COALESCE: a NULL-text doc has one all-NULL segment
+                   -- group; Spark's array_join drops nulls and emits '',
+                   -- so the oracle must too
+                   COALESCE(string_agg(
+                       substr(b.t, s.seg_start, s.span_start - s.seg_start),
+                       '' ORDER BY s.seg_start), '') AS clean_text
             FROM segs s JOIN base b USING (doc_id)
             GROUP BY s.doc_id
         """,

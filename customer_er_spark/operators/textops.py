@@ -16,6 +16,11 @@ from pyspark.sql import types as T
 
 from customer_er_spark.functions.hashing import shingle_hashes
 
+# duplicate_spans position-explode chunk: bounds the sequence() array any
+# single document can materialize in one Generate row (4096 ints ~ 32 KB)
+# while keeping the outer chunk-index array small even for ~100 MB docs.
+_POS_CHUNK = 4096
+
 
 def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Whitespace tokens + a BPE-ish proxy (runs of word chars / digits /
@@ -337,22 +342,40 @@ def duplicate_spans(
     Scale shape: the exploded gram relation is ~|text| rows of
     (doc_id, int, 32-char hash); for 100 TB corpora the same plan holds —
     both exchanges are narrow fixed-width rows, hot grams cost O(count)
-    not O(count^2), and AQE handles residual skew.  md5 collisions
-    (~2^-128 per pair) are the standard fingerprinting trade the oracle
-    replays verbatim.
+    not O(count^2), and AQE handles residual skew.  Position generation is
+    CHUNKED (two nested explodes of <= _POS_CHUNK elements) so a single
+    pathological document never materializes an O(|doc|) sequence array
+    in one Generate row — a 100 MB doc costs a ~25k-element outer array,
+    not an 800 MB one.  md5 collisions (~2^-128 per pair) are the
+    standard fingerprinting trade the oracle replays verbatim.
     """
     from pyspark.sql import Window
 
     L = int(min_len)
+    C = _POS_CHUNK
+    n_grams = F.length("t") - F.lit(L - 1)
     grams = (
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t"))
         .where(F.length("t") >= L)
         .select(
             "doc_id",
-            F.explode(
-                F.sequence(F.lit(1), F.length("t") - F.lit(L - 1))
-            ).alias("p"),
             "t",
+            n_grams.alias("n_grams"),
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.floor((n_grams - F.lit(1)) / F.lit(C)).cast("int")
+                )
+            ).alias("ci"),
+        )
+        .select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(
+                    F.col("ci") * C + 1,
+                    F.least(F.col("n_grams"), (F.col("ci") + 1) * C),
+                )
+            ).alias("p"),
         )
         .select(
             "doc_id", "p", F.md5(F.substring(F.col("t"), F.col("p"), L)).alias("gh")

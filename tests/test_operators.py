@@ -900,3 +900,30 @@ def test_duplicate_spans_unicode_and_null(spark):
     clean = {r["doc_id"]: r["clean_text"]
              for r in dedup_substrings(data, min_len=10).collect()}
     assert clean == {1: "", 2: "", 3: "", 4: "plain short"}
+
+
+def test_duplicate_spans_across_chunk_boundaries(spark):
+    """Docs longer than the position-explode chunk (4096) must produce the
+    same spans as the naive reference — grams straddling chunk seams
+    included (the chunking only batches START positions; each gram still
+    reads L chars past its own chunk)."""
+    import random
+
+    from customer_er_spark.operators.textops import _POS_CHUNK, duplicate_spans
+
+    rng = random.Random(5)
+    L = 12
+    dup = "SHARED-SEGMENT-AROUND-THE-SEAM"
+    filler = lambda n: "".join(rng.choice("xyzw") for _ in range(n))
+    # place one duplicated segment exactly straddling the 4096 boundary
+    # and another well inside the second chunk
+    t1 = filler(_POS_CHUNK - 10) + dup + filler(500) + dup + filler(100)
+    t2 = filler(300) + dup + filler(50)
+    texts = {1: t1, 2: t2}
+    data = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    got: dict[int, list[tuple[int, int]]] = {}
+    for r in duplicate_spans(data, min_len=L).collect():
+        got.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    assert {d: sorted(v) for d, v in got.items()} == _naive_dup_spans(texts, L)
