@@ -1,0 +1,144 @@
+"""Broadcast-matrix pair scoring for candidate-pair re-score stages.
+
+The guide-§8 lesson applied to ANN/MinHash verification: every scoring
+decision depends only on (id_l, id_r) plus a per-id fixed-width signature
+row (64 doubles, 128 int64s) — never on anything pair-specific.  Joining
+the signature table onto tens of millions of candidate pairs ships the
+wide rows through two shuffles and evaluates a several-hundred-node
+expression tree per pair (the unrolled IEEE dot product is deliberately
+order-pinned for the DuckDB oracle, which makes it a CodegenFallback-sized
+expression — measured 54 s of the 79.6 s lsh_topk wall at sf1.0 was this
+one stage).  Instead: collect the BOUNDED signature matrix once (limit
+max_rows + 1, the same driver-bound pattern as components.py's CC probe),
+broadcast it, and score each Arrow batch of 16-byte pair rows with
+vectorized numpy whose accumulation order is BIT-IDENTICAL to the pinned
+expression (see below).  Callers fall back to the join path when the
+matrix exceeds the bound, so the 100 TB shape is unchanged: pairs stay
+narrow, the matrix bound is an explicit knob, and oversized tables take
+the old wide-join plan.
+
+Bit-exactness contract (oracle-critical):
+  * cosine: _dot_unrolled/_norm2_unrolled build terms[0] + terms[1] + ...
+    left-to-right over double-cast elements.  The numpy kernel reproduces
+    that exact IEEE chain: elementwise float64 products, then an explicit
+    per-dimension accumulation loop acc += prod[:, i] — same order, same
+    rounding, bit-identical to the Catalyst chain.  float32 -> float64
+    conversion is exact; np.sqrt and '/' are correctly rounded like their
+    JVM counterparts.
+  * MinHash Jaccard: the aggregate(zip_with(...)) chain sums 0.0/1.0
+    doubles (exact integers <= num_hashes, every partial sum exactly
+    representable) then divides — equal to count_equal / num_hashes
+    computed here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: F401  (callers compose)
+from pyspark.sql import types as T
+
+# LongType only: the scored output declares `long` id columns, so any other
+# id type must take the join fallback to keep the caller's schema unchanged.
+_INTEGRAL = (T.LongType,)
+
+
+def collect_bounded_matrix(
+    df: DataFrame, id_col: str, arr_col: str, dtype, max_rows: int
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """(sorted ids, matrix rows in id order), or None when the table
+    exceeds max_rows (caller falls back to the join path) or the id column
+    is not integral (searchsorted addressing needs a numeric key)."""
+    id_field = df.schema[id_col].dataType
+    if not isinstance(id_field, _INTEGRAL):
+        return None
+    pdf = df.select(id_col, arr_col).limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
+        return None
+    ids = pdf[id_col].to_numpy(np.int64)
+    if len(ids) == 0:
+        return ids, np.zeros((0, 0), dtype=dtype)
+    mat = np.array([np.asarray(v, dtype=dtype) for v in pdf[arr_col]], dtype=dtype)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def ordered_norms(mat: np.ndarray) -> np.ndarray:
+    """sqrt of the left-to-right sum of squares per row — bit-identical to
+    sqrt(_norm2_unrolled(...))'s chained adds."""
+    if mat.shape[0] == 0:
+        return np.zeros(0, dtype=np.float64)
+    sq = mat * mat
+    acc = sq[:, 0].copy()
+    for i in range(1, mat.shape[1]):
+        acc += sq[:, i]
+    return np.sqrt(acc)
+
+
+def cosine_pair_scores(
+    spark,
+    cand: DataFrame,
+    ids: np.ndarray,
+    mat: np.ndarray,
+    l_col: str = "query_id",
+    r_col: str = "neighbor_id",
+    out_col: str = "cos",
+) -> DataFrame:
+    """cand(l_col, r_col) -> same columns + unrounded cosine, scored against
+    the broadcast (ids, mat) matrix with the order-pinned IEEE chain."""
+    nrm = ordered_norms(mat)
+    b = spark.sparkContext.broadcast((ids, mat, nrm))
+    dim = mat.shape[1]
+    schema = f"{l_col} long, {r_col} long, {out_col} double"
+
+    def score(batches):
+        ids_, mat_, nrm_ = b.value
+        for pdf in batches:
+            li = np.searchsorted(ids_, pdf[l_col].to_numpy(np.int64))
+            ri = np.searchsorted(ids_, pdf[r_col].to_numpy(np.int64))
+            prod = mat_[li] * mat_[ri]
+            if len(pdf):
+                acc = prod[:, 0].copy()
+                for i in range(1, dim):
+                    acc += prod[:, i]
+                cos = acc / (nrm_[li] * nrm_[ri])
+            else:
+                cos = np.zeros(0, dtype=np.float64)
+            yield pd.DataFrame(
+                {l_col: pdf[l_col], r_col: pdf[r_col], out_col: cos}
+            )
+
+    return cand.select(l_col, r_col).mapInPandas(score, schema=schema)
+
+
+def equality_fraction_pair_scores(
+    spark,
+    cand: DataFrame,
+    ids: np.ndarray,
+    mat: np.ndarray,
+    denom: int,
+    l_col: str = "id_l",
+    r_col: str = "id_r",
+    out_col: str = "jacc",
+) -> DataFrame:
+    """cand(l_col, r_col) -> same + fraction of equal signature positions
+    (the MinHash Jaccard estimate), scored against the broadcast matrix."""
+    b = spark.sparkContext.broadcast((ids, mat))
+    schema = f"{l_col} long, {r_col} long, {out_col} double"
+
+    def score(batches):
+        ids_, mat_ = b.value
+        for pdf in batches:
+            li = np.searchsorted(ids_, pdf[l_col].to_numpy(np.int64))
+            ri = np.searchsorted(ids_, pdf[r_col].to_numpy(np.int64))
+            eq = (
+                (mat_[li] == mat_[ri]).sum(axis=1).astype(np.float64)
+                if len(pdf)
+                else np.zeros(0, dtype=np.float64)
+            )
+            yield pd.DataFrame(
+                {l_col: pdf[l_col], r_col: pdf[r_col], out_col: eq / float(denom)}
+            )
+
+    return cand.select(l_col, r_col).mapInPandas(score, schema=schema)

