@@ -53,13 +53,33 @@ def collect_bounded_matrix(
     id_field = df.schema[id_col].dataType
     if not isinstance(id_field, _INTEGRAL):
         return None
-    pdf = df.select(id_col, arr_col).limit(max_rows + 1).toPandas()
-    if len(pdf) > max_rows:
-        return None
-    ids = pdf[id_col].to_numpy(np.int64)
-    if len(ids) == 0:
-        return ids, np.zeros((0, 0), dtype=dtype)
-    mat = np.array([np.asarray(v, dtype=dtype) for v in pdf[arr_col]], dtype=dtype)
+    bounded = df.select(id_col, arr_col).limit(max_rows + 1)
+    try:  # Arrow-native path: no per-row Python conversion (vectorized
+        # flatten+reshape of the list column; ~2 s -> ~0.2 s at 50k x 128)
+        tbl = bounded.toArrow().combine_chunks()
+        n = tbl.num_rows
+        if n > max_rows:
+            return None
+        ids = tbl.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        if n == 0:
+            return ids, np.zeros((0, 0), dtype=dtype)
+        col = tbl.column(1)
+        arr = col.chunk(0) if col.num_chunks else col.combine_chunks()
+        offs = np.diff(arr.offsets.to_numpy(zero_copy_only=False))
+        if arr.null_count or len(set(offs.tolist())) != 1:
+            raise ValueError("ragged or null rows: row-wise fallback")
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        mat = flat.astype(dtype).reshape(n, int(offs[0]))
+    except Exception:
+        pdf = bounded.toPandas()
+        if len(pdf) > max_rows:
+            return None
+        ids = pdf[id_col].to_numpy(np.int64)
+        if len(ids) == 0:
+            return ids, np.zeros((0, 0), dtype=dtype)
+        mat = np.array(
+            [np.asarray(v, dtype=dtype) for v in pdf[arr_col]], dtype=dtype
+        )
     order = np.argsort(ids)
     return ids[order], mat[order]
 
@@ -84,9 +104,17 @@ def cosine_pair_scores(
     l_col: str = "query_id",
     r_col: str = "neighbor_id",
     out_col: str = "cos",
+    mirror: bool = False,
 ) -> DataFrame:
     """cand(l_col, r_col) -> same columns + unrounded cosine, scored against
-    the broadcast (ids, mat) matrix with the order-pinned IEEE chain."""
+    the broadcast (ids, mat) matrix with the order-pinned IEEE chain.
+
+    mirror=True emits BOTH directions of each input pair with one scoring
+    pass — for symmetric candidate sets (undirected LSH pairs) this halves
+    the gather/accumulate work AND lets the caller feed the pair subtree
+    into the plan once instead of union-ing two copies of it.  Exact by
+    symmetry: per-dimension products commute bitwise and the accumulation
+    order over dimensions is unchanged, so cos(a,b) == cos(b,a)."""
     nrm = ordered_norms(mat)
     b = spark.sparkContext.broadcast((ids, mat, nrm))
     dim = mat.shape[1]
@@ -95,8 +123,10 @@ def cosine_pair_scores(
     def score(batches):
         ids_, mat_, nrm_ = b.value
         for pdf in batches:
-            li = np.searchsorted(ids_, pdf[l_col].to_numpy(np.int64))
-            ri = np.searchsorted(ids_, pdf[r_col].to_numpy(np.int64))
+            lv = pdf[l_col].to_numpy(np.int64)
+            rv = pdf[r_col].to_numpy(np.int64)
+            li = np.searchsorted(ids_, lv)
+            ri = np.searchsorted(ids_, rv)
             prod = mat_[li] * mat_[ri]
             if len(pdf):
                 acc = prod[:, 0].copy()
@@ -105,9 +135,16 @@ def cosine_pair_scores(
                 cos = acc / (nrm_[li] * nrm_[ri])
             else:
                 cos = np.zeros(0, dtype=np.float64)
-            yield pd.DataFrame(
-                {l_col: pdf[l_col], r_col: pdf[r_col], out_col: cos}
-            )
+            if mirror:
+                yield pd.DataFrame(
+                    {
+                        l_col: np.concatenate([lv, rv]),
+                        r_col: np.concatenate([rv, lv]),
+                        out_col: np.concatenate([cos, cos]),
+                    }
+                )
+            else:
+                yield pd.DataFrame({l_col: lv, r_col: rv, out_col: cos})
 
     return cand.select(l_col, r_col).mapInPandas(score, schema=schema)
 

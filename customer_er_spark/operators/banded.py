@@ -157,6 +157,7 @@ def banded_pairs(
     max_band_size: int,
     shuffle_partitions: int,
     emit_payload: bool = False,
+    distinct: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Distinct skew-safe within-bucket pairs from (id, band_key) rows.
 
@@ -173,8 +174,16 @@ def banded_pairs(
     emit_payload  when True the output keeps <c>_l/<c>_r for each payload
                   column (payload is a function of id, so distinct over the
                   wider row equals distinct over the pair).
+    distinct      default True: dedupe pairs across bands (one shuffle on
+                  the pair key).  A caller whose downstream is a pure
+                  per-pair function followed by a SELECTIVE filter should
+                  pass False and dedupe the few survivors instead — at
+                  sf1.0 the minhash verify kept 2.5k of 21.2M candidate
+                  pairs, so deduping before scoring shuffled 21.2M rows to
+                  protect a 2.5k-row distinct.
 
-    Returns (pairs, band_stats); pairs has id_l < id_r, distinct.
+    Returns (pairs, band_stats); pairs has id_l < id_r, distinct unless
+    distinct=False (then multiplicity = number of shared buckets).
     """
     mem_struct = F.struct(F.col(id_col).alias("id"), *payload_cols)
     repart = bands.repartition(shuffle_partitions, "band_key")
@@ -246,10 +255,9 @@ def banded_pairs(
         .select(*out_cols)
     )
 
-    pairs = (
-        pairs_within.unionByName(chain)
-        .distinct()  # one shuffle on the pair key; AQE coalesces the output
-    )
+    pairs = pairs_within.unionByName(chain)
+    if distinct:
+        pairs = pairs.distinct()  # one shuffle on the pair key; AQE coalesces
     # hand eagerly-materializing callers the lazy-checkpoint handle so they
     # can release_scratch() once their output is durable
     pairs._er_scratch = (salted,)

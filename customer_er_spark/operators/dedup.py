@@ -51,19 +51,22 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 def minhash_signatures(
     docs: DataFrame, cfg: ERConfig, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
+    from customer_er_spark.functions.partitioning import fan_out
+
     mh = make_minhash_udf(cfg.shingle_k, cfg.num_hashes, cfg.minhash_seed)
-    return (
+    # adaptive fan-out BEFORE the UDF (same lesson as
+    # signatures.compute_signatures): a compact one-row-group parquet
+    # input otherwise runs the whole signature stage on ONE task —
+    # measured 10-13.5 s single-task vs ~1 s fanned at sf1.0.  No-op when
+    # the scan already offers enough splits (functions/partitioning.py).
+    return fan_out(
         docs.select(
             F.col(id_col).alias("doc_id"),
             normalize_caption(F.col(text_col)).alias("text_norm"),
-        )
-        # explicit fan-out BEFORE the UDF (same lesson as
-        # signatures.compute_signatures): a compact one-row-group parquet
-        # input otherwise runs the whole signature stage on ONE task —
-        # measured 10-13.5 s single-task vs ~1 s fanned at sf1.0.
-        .repartition(cfg.shuffle_partitions, "doc_id")
-        .withColumn("minhash", mh(F.col("text_norm")))
-    )
+        ),
+        cfg.shuffle_partitions,
+        "doc_id",
+    ).withColumn("minhash", mh(F.col("text_norm")))
 
 
 def minhash_band_keys(sig: DataFrame, cfg: ERConfig) -> DataFrame:
@@ -112,11 +115,17 @@ def minhash_lsh_pairs(
     # the (small) pair output, so a long-lived session does not accumulate
     # cached blocks across queries.
     sig = minhash_signatures(docs, cfg, id_col, text_col).persist()
+    # distinct=False: the Jaccard estimate is a pure function of the pair
+    # and the >= jaccard_min filter is highly selective, so candidates are
+    # scored WITH band multiplicity and only the few survivors are deduped
+    # below — the pair-key distinct exchange (21.2M rows at sf1.0 guarding
+    # a 2.5k-row result) disappears from the plan.
     pairs, _stats = banded_pairs(
         minhash_band_keys(sig, cfg),
         id_col="doc_id",
         max_band_size=cfg.max_band_size,
         shuffle_partitions=cfg.shuffle_partitions,
+        distinct=False,
     )
     # Jaccard-estimate verify: score the (narrow) candidate pairs against a
     # BOUNDED broadcast of the signature matrix (functions/pairscore.py —
@@ -156,8 +165,11 @@ def minhash_lsh_pairs(
             )
             .select("id_l", "id_r", "jacc")
         )
-    out = scored.where(F.col("jacc") >= jaccard_min).select(
-        "id_l", "id_r", F.round("jacc", 6).alias("jacc")
+    out = (
+        scored.where(F.col("jacc") >= jaccard_min)
+        .select("id_l", "id_r", F.round("jacc", 6).alias("jacc"))
+        .distinct()  # survivors only (jacc is pair-deterministic, so
+        #              distinct here equals the old pre-score distinct)
     )
     # materialize the verified pairs (small output), then free the cached
     # signatures — downstream consumers read the committed/checkpointed
@@ -224,17 +236,22 @@ def simhash_sql(
     BIGINT halves — pure Catalyst (explode + md5 + 64 codegen aggregates),
     no Python in the path.  Docs with empty normalized text are excluded
     (no tokens -> no signature)."""
+    from customer_er_spark.functions.partitioning import fan_out
+
     toks = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            normalize_caption(F.col(text_col)).alias("t"),
+        # adaptive fan-out BEFORE the token explode + md5 + 64 partial-agg
+        # columns: a one-row-group parquet input otherwise runs the whole
+        # map-side vote aggregation (the stage's dominant cost) on ONE
+        # task.  The shuffle moved is just (id, normalized text) — narrow
+        # — and it is a no-op when the scan already offers enough splits.
+        fan_out(
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                normalize_caption(F.col(text_col)).alias("t"),
+            ).where(F.length("t") > 0),
+            32,
+            "doc_id",
         )
-        .where(F.length("t") > 0)
-        # fan out BEFORE the token explode + md5 + 64 partial-agg columns:
-        # a one-row-group parquet input otherwise runs the whole map-side
-        # vote aggregation (the stage's dominant cost) on ONE task.  The
-        # shuffle moved is just (id, normalized text) — narrow.
-        .repartition(32, "doc_id")
         .select("doc_id", F.explode(F.split("t", " ")).alias("tk"))
         .select("doc_id", F.md5("tk").alias("m"))
     )

@@ -95,14 +95,22 @@ def brute_force_topk(
 
 
 def _cosine_scored(
-    spark, cand: DataFrame, base: DataFrame, dim: int, max_rows: int
+    spark,
+    cand: DataFrame,
+    base: DataFrame,
+    dim: int,
+    max_rows: int,
+    mirror: bool = False,
 ) -> DataFrame:
     """(query_id, neighbor_id) candidates -> + unrounded `cos`.
 
     Broadcast-matrix Arrow scoring when the vector table fits the bound
     (bit-identical to the unrolled Catalyst chain — functions/pairscore.py
     docstring carries the proof); otherwise the wide-join fallback with
-    the pinned _dot_unrolled expression.  base must expose (vid, vec)."""
+    the pinned _dot_unrolled expression.  base must expose (vid, vec).
+    mirror=True: cand carries each unordered pair ONCE and the output
+    covers both directions (one scoring pass; one pair subtree in the
+    plan instead of a union of two copies)."""
     from customer_er_spark.functions.pairscore import (
         collect_bounded_matrix,
         cosine_pair_scores,
@@ -110,7 +118,16 @@ def _cosine_scored(
 
     matrix = collect_bounded_matrix(base, "vid", "vec", np.float64, max_rows)
     if matrix is not None:
-        return cosine_pair_scores(spark, cand, matrix[0], matrix[1])
+        return cosine_pair_scores(
+            spark, cand, matrix[0], matrix[1], mirror=mirror
+        )
+    if mirror:  # directed fallback: the join path scores per directed row
+        cand = cand.unionAll(
+            cand.select(
+                F.col("neighbor_id").alias("query_id"),
+                F.col("query_id").alias("neighbor_id"),
+            )
+        )
     with_nrm = base.withColumn("nrm", F.sqrt(_norm2_unrolled("vec", dim)))
     q = with_nrm.select(
         F.col("vid").alias("query_id"),
@@ -180,12 +197,18 @@ def lsh_topk(
             out.append([int(t) * (1 << n_planes) + int(c) for t, c in enumerate(row)])
         return pd.Series(out)
 
-    # explicit fan-out before the bucket UDF: a compact parquet input (one
+    from customer_er_spark.functions.partitioning import fan_out
+
+    # adaptive fan-out before the bucket UDF: a compact parquet input (one
     # row group) otherwise runs the whole Python stage on ONE task (same
-    # lesson as signatures.compute_signatures).
-    base = embeddings.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
-    ).repartition(shuffle_partitions, "vid")
+    # lesson as signatures.compute_signatures); no-op on well-split scans.
+    base = fan_out(
+        embeddings.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+        ),
+        shuffle_partitions,
+        "vid",
+    )
     # persist: referenced by the banding pass and the scorer (broadcast
     # collect or both verify join sides); unpersisted after the (small)
     # top-k output is materialized.
@@ -199,16 +222,19 @@ def lsh_topk(
         max_band_size=max_bucket_size,
         shuffle_partitions=shuffle_partitions,
     )
-    # candidates are directed (each member of a pair queries the other)
-    cand = upairs.select(
-        F.col("id_l").alias("query_id"), F.col("id_r").alias("neighbor_id")
-    ).unionAll(
-        upairs.select(
-            F.col("id_r").alias("query_id"), F.col("id_l").alias("neighbor_id")
-        )
-    )
+    # candidates are directed (each member of a pair queries the other);
+    # the scorer mirrors each undirected pair itself, so the pair subtree
+    # enters the plan ONCE (a unionAll of two projections of `upairs`
+    # would compute the expansion+distinct twice — no exchange reuse)
     scored = _cosine_scored(
-        embeddings.sparkSession, cand, base, dim, broadcast_score_max_rows
+        embeddings.sparkSession,
+        upairs.select(
+            F.col("id_l").alias("query_id"), F.col("id_r").alias("neighbor_id")
+        ),
+        base,
+        dim,
+        broadcast_score_max_rows,
+        mirror=True,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -414,10 +440,16 @@ def ivf_topk(
     cents = kmeans_centroids(
         embeddings, n_centroids, dim, iters, id_col, vec_col, max_train=max_train
     )
-    # same fan-out-before-Python + broadcast-scorer shape as lsh_topk
-    base = embeddings.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
-    ).repartition(32, "vid")
+    from customer_er_spark.functions.partitioning import fan_out
+
+    # same adaptive fan-out + broadcast-scorer shape as lsh_topk
+    base = fan_out(
+        embeddings.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+        ),
+        32,
+        "vid",
+    )
     base = base.persist()
 
     assigned = base.withColumn("cell", _assign_cells_udf(cents)(F.col("vec")))
