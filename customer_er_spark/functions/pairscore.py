@@ -114,7 +114,12 @@ def cosine_pair_scores(
     the gather/accumulate work AND lets the caller feed the pair subtree
     into the plan once instead of union-ing two copies of it.  Exact by
     symmetry: per-dimension products commute bitwise and the accumulation
-    order over dimensions is unchanged, so cos(a,b) == cos(b,a)."""
+    order over dimensions is unchanged, so cos(a,b) == cos(b,a).
+
+    (A per-task partial-top-k prefilter ahead of the caller's rank window
+    was prototyped and measured NEUTRAL-to-worse at sf1.0 — the 29M-row
+    window costs less than the per-task accumulate+lexsort — so the
+    scorer stays a pure streaming map; see OPTIMIZATION_r08.md.)"""
     nrm = ordered_norms(mat)
     b = spark.sparkContext.broadcast((ids, mat, nrm))
     dim = mat.shape[1]
@@ -136,15 +141,12 @@ def cosine_pair_scores(
             else:
                 cos = np.zeros(0, dtype=np.float64)
             if mirror:
-                yield pd.DataFrame(
-                    {
-                        l_col: np.concatenate([lv, rv]),
-                        r_col: np.concatenate([rv, lv]),
-                        out_col: np.concatenate([cos, cos]),
-                    }
+                lv, rv, cos = (
+                    np.concatenate([lv, rv]),
+                    np.concatenate([rv, lv]),
+                    np.concatenate([cos, cos]),
                 )
-            else:
-                yield pd.DataFrame({l_col: lv, r_col: rv, out_col: cos})
+            yield pd.DataFrame({l_col: lv, r_col: rv, out_col: cos})
 
     return cand.select(l_col, r_col).mapInPandas(score, schema=schema)
 
