@@ -34,9 +34,7 @@ Bit-exactness contract (oracle-critical):
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F  # noqa: F401  (callers compose)
 from pyspark.sql import types as T
 
 # LongType only: the scored output declares `long` id columns, so any other
@@ -119,7 +117,14 @@ def cosine_pair_scores(
     (A per-task partial-top-k prefilter ahead of the caller's rank window
     was prototyped and measured NEUTRAL-to-worse at sf1.0 — the 29M-row
     window costs less than the per-task accumulate+lexsort — so the
-    scorer stays a pure streaming map; see OPTIMIZATION_r08.md.)"""
+    scorer stays a pure streaming map; see OPTIMIZATION_r08.md.)
+
+    mapInArrow, not mapInPandas: the scorer touches nothing pandas can add
+    — measured 9.3–19.4 s (pandas) vs 2.7–3.0 s (arrow) for the same 21.7M
+    checkpointed pairs; the per-batch Series/DataFrame round-trip was most
+    of the stage."""
+    import pyarrow as pa
+
     nrm = ordered_norms(mat)
     b = spark.sparkContext.broadcast((ids, mat, nrm))
     dim = mat.shape[1]
@@ -127,13 +132,13 @@ def cosine_pair_scores(
 
     def score(batches):
         ids_, mat_, nrm_ = b.value
-        for pdf in batches:
-            lv = pdf[l_col].to_numpy(np.int64)
-            rv = pdf[r_col].to_numpy(np.int64)
+        for rb in batches:  # column order fixed by the select() below
+            lv = rb.column(0).to_numpy(zero_copy_only=False)
+            rv = rb.column(1).to_numpy(zero_copy_only=False)
             li = np.searchsorted(ids_, lv)
             ri = np.searchsorted(ids_, rv)
             prod = mat_[li] * mat_[ri]
-            if len(pdf):
+            if rb.num_rows:
                 acc = prod[:, 0].copy()
                 for i in range(1, dim):
                     acc += prod[:, i]
@@ -146,9 +151,16 @@ def cosine_pair_scores(
                     np.concatenate([rv, lv]),
                     np.concatenate([cos, cos]),
                 )
-            yield pd.DataFrame({l_col: lv, r_col: rv, out_col: cos})
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(lv, type=pa.int64()),
+                    pa.array(rv, type=pa.int64()),
+                    pa.array(cos, type=pa.float64()),
+                ],
+                names=[l_col, r_col, out_col],
+            )
 
-    return cand.select(l_col, r_col).mapInPandas(score, schema=schema)
+    return cand.select(l_col, r_col).mapInArrow(score, schema=schema)
 
 
 def equality_fraction_pair_scores(
@@ -162,22 +174,32 @@ def equality_fraction_pair_scores(
     out_col: str = "jacc",
 ) -> DataFrame:
     """cand(l_col, r_col) -> same + fraction of equal signature positions
-    (the MinHash Jaccard estimate), scored against the broadcast matrix."""
+    (the MinHash Jaccard estimate), scored against the broadcast matrix.
+    mapInArrow for the same reason as cosine_pair_scores."""
+    import pyarrow as pa
+
     b = spark.sparkContext.broadcast((ids, mat))
     schema = f"{l_col} long, {r_col} long, {out_col} double"
 
     def score(batches):
         ids_, mat_ = b.value
-        for pdf in batches:
-            li = np.searchsorted(ids_, pdf[l_col].to_numpy(np.int64))
-            ri = np.searchsorted(ids_, pdf[r_col].to_numpy(np.int64))
+        for rb in batches:  # column order fixed by the select() below
+            lv = rb.column(0).to_numpy(zero_copy_only=False)
+            rv = rb.column(1).to_numpy(zero_copy_only=False)
             eq = (
-                (mat_[li] == mat_[ri]).sum(axis=1).astype(np.float64)
-                if len(pdf)
+                (mat_[np.searchsorted(ids_, lv)] == mat_[np.searchsorted(ids_, rv)])
+                .sum(axis=1)
+                .astype(np.float64)
+                if rb.num_rows
                 else np.zeros(0, dtype=np.float64)
             )
-            yield pd.DataFrame(
-                {l_col: pdf[l_col], r_col: pdf[r_col], out_col: eq / float(denom)}
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(lv, type=pa.int64()),
+                    pa.array(rv, type=pa.int64()),
+                    pa.array(eq / float(denom), type=pa.float64()),
+                ],
+                names=[l_col, r_col, out_col],
             )
 
-    return cand.select(l_col, r_col).mapInPandas(score, schema=schema)
+    return cand.select(l_col, r_col).mapInArrow(score, schema=schema)
